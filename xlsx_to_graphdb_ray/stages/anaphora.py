@@ -1,0 +1,63 @@
+"""Order-sensitive per-conversation anaphora resolution.
+
+The rebuild's analogue of the reference's level-stack hierarchical parse
+(``spreadsheet_loader.py:1160-1182`` — a sequential scan whose correctness
+depends on input order). Here the order-coupled rule is: a mention whose
+alias is ``"that one"`` refers to the most recent *non-anaphoric* mention at
+a strictly earlier (turn_idx, ord, kind) position within the same
+conversation.
+
+Scale design (two deliberate choices):
+
+1. The stage runs on the **extracted event stream**, not the raw turns — the
+   shuffle moves only small event rows, a fraction of the input bytes.
+2. Conversations are grouped by a **hash bucket** (``conv_bucket =
+   stable_hash(conv_id) % n_buckets``), not by conv_id directly: one
+   ``map_groups`` call per bucket instead of one Python call per
+   conversation, with all per-conversation work done by *vectorized* pandas
+   ``groupby(conv_id)`` kernels inside the bucket. Bucketing by hash also
+   spreads conversations evenly, so no single group is hot.
+
+Never relies on global block order (SURVEY.md §4 "Ordering") — every bucket
+sorts by the stable (conv_id, turn_idx, ord, kind) coordinates itself.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pandas.util
+
+ANAPHOR = "that one"
+N_BUCKETS = 64
+
+
+def add_conv_bucket(batch: pd.DataFrame, n_buckets: int = N_BUCKETS) -> pd.DataFrame:
+    batch = batch.copy()
+    batch["conv_bucket"] = (
+        pandas.util.hash_pandas_object(batch["conv_id"], index=False)
+        % n_buckets
+    ).astype("int32")
+    return batch
+
+
+def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """One hash-bucket of conversations → anaphors substituted, vectorized."""
+    g = g.sort_values(["conv_id", "turn_idx", "ord", "kind"],
+                      kind="mergesort").reset_index(drop=True)
+    is_m = g["kind"] == "m"
+    is_ana = is_m & (g["a"] == ANAPHOR)
+    carrier = g["a"].where(is_m & ~is_ana)
+    by_conv = carrier.groupby(g["conv_id"], sort=False)
+    prev = by_conv.ffill().groupby(g["conv_id"], sort=False).shift(1)
+    g.loc[is_ana, "a"] = prev[is_ana]
+    # an anaphor with no antecedent stays unresolvable → keep marker (unknown)
+    g["a"] = g["a"].fillna(ANAPHOR)
+    return g.drop(columns=["conv_bucket"])
+
+
+def substitute_anaphora(events_ds, n_buckets: int = N_BUCKETS):
+    """Dataset of events → Dataset with anaphors replaced by antecedents."""
+    bucketed = events_ds.map_batches(
+        lambda b: add_conv_bucket(b, n_buckets), batch_format="pandas")
+    return bucketed.groupby("conv_bucket").map_groups(
+        resolve_bucket, batch_format="pandas")

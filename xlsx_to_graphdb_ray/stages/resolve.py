@@ -1,0 +1,124 @@
+"""Name → canonical-id resolution (J1/J2 analogue) as a broadcast actor pool.
+
+Reference semantics (``resolve_edges_by_name``,
+``spreadsheet_loader.py:1055-1080``), re-expressed over mention events:
+
+- normalize the alias (``norm_key``: trim+lower+float-collapse),
+- look it up in the name index,
+- **no candidates** → number-fallback: if the alias normalizes to a known
+  entity id, resolve to that id (ref ``:1063-1066``); else status
+  ``unknown``,
+- **≥2 candidates** → status ``ambiguous`` (no fallback — the reference only
+  falls back when the candidate list is empty),
+- exactly one candidate → status ``resolved``.
+
+``strict`` mode mirrors the reference's RuntimeError on any unknown/ambiguous
+(``:1068-1076``) but as a *post-aggregation* gate (count statuses, then
+raise) so the distributed pipeline is not torn down mid-stream by per-row
+exceptions.
+
+Physical design: the dictionary is built once, ``ray.put`` once, and each
+actor in the pool deserializes it once in ``__init__`` — the J1 broadcast
+hash join. Lookups per batch are vectorized pandas ``.map`` calls.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray
+
+STATUSES = ("resolved", "ambiguous", "unknown")
+
+
+def _resolve_series(alias: pd.Series, name_to_ids: dict, id_map: dict):
+    """Vectorized resolve of an alias series → (entity_id, status, n_cand)."""
+    from ..functions.normalize import norm_key
+
+    n = alias.map(norm_key, na_action="ignore").fillna("")
+    cand = n.map(name_to_ids)
+    n_cand = cand.map(lambda x: len(x) if isinstance(x, list) else 0)
+    eid = pd.Series([None] * len(alias), index=alias.index, dtype=object)
+    one = n_cand == 1
+    eid[one] = cand[one].map(lambda x: x[0])
+    # number-fallback only where the name index had NO candidates
+    fb = (n_cand == 0) & n.isin(id_map)
+    eid[fb] = n[fb].map(id_map)
+    status = pd.Series("unknown", index=alias.index, dtype=object)
+    status[n_cand > 1] = "ambiguous"
+    status[one | fb] = "resolved"
+    return eid, status, n_cand
+
+
+class Resolver:
+    """Actor-pool callable: events batch in → events + resolution columns out.
+
+    ``dict_ref`` is a ``ray.ObjectRef`` to the lookup dicts — fetched once
+    per actor (zero-copy from the local object store when co-located).
+    """
+
+    def __init__(self, dict_ref):
+        d = ray.get(dict_ref) if isinstance(dict_ref, ray.ObjectRef) else dict_ref
+        self.name_to_ids = d["name_to_ids"]
+        self.id_map = d["id_map"]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        a_id, a_status, a_n = _resolve_series(
+            batch["a"], self.name_to_ids, self.id_map)
+        batch = batch.copy()
+        batch["a_id"] = a_id
+        batch["a_status"] = a_status
+        batch["a_ncand"] = a_n.astype("int32")
+        has_b = batch["b"].notna()
+        batch["b_id"] = None
+        batch["b_status"] = None
+        batch["b_ncand"] = 0
+        if has_b.any():
+            b_id, b_status, b_n = _resolve_series(
+                batch.loc[has_b, "b"], self.name_to_ids, self.id_map)
+            batch.loc[has_b, "b_id"] = b_id
+            batch.loc[has_b, "b_status"] = b_status
+            batch.loc[has_b, "b_ncand"] = b_n.astype("int32")
+        batch["b_ncand"] = batch["b_ncand"].astype("int32")
+        # tool events carry their literal in `a`; they are not entity lookups
+        is_t = batch["kind"] == "t"
+        batch.loc[is_t, "a_id"] = batch.loc[is_t, "a"]
+        batch.loc[is_t, "a_status"] = "resolved"
+        return batch
+
+
+def resolve_events(events_ds, lookup_dicts, *, concurrency=(2, 8),
+                   batch_size: int = 32768):
+    """Attach resolution columns to the event stream via the actor pool."""
+    ref = ray.put(lookup_dicts)
+    return events_ds.map_batches(
+        Resolver,
+        fn_constructor_kwargs={"dict_ref": ref},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def strict_gate(resolved_ds) -> dict:
+    """Count statuses; raise like the reference's strict mode if any
+    unknown/ambiguous mention or relation endpoint exists.
+
+    Returns the status counts dict when clean.
+    """
+    import pyarrow.compute as pc
+
+    counts: dict[str, int] = {s: 0 for s in STATUSES}
+    for b in resolved_ds.select_columns(["kind", "a_status", "b_status"]) \
+                        .iter_batches(batch_format="pyarrow", batch_size=65536):
+        for col in ("a_status", "b_status"):
+            vc = pc.value_counts(b[col])
+            for item in vc.to_pylist():
+                if item["values"] in counts:
+                    counts[item["values"]] += item["counts"]
+    bad = counts["unknown"] + counts["ambiguous"]
+    if bad:
+        raise RuntimeError(
+            f"strict resolution: {counts['unknown']} unknown / "
+            f"{counts['ambiguous']} ambiguous mentions"
+        )
+    return counts

@@ -1,0 +1,72 @@
+"""Stage-boundary checkpoints with lineage manifests (resumable runs).
+
+The reference has no checkpointing — a failed POST aborts the whole run and
+re-running relies on GraphDB/Cypher MERGE idempotency (SURVEY.md §4,
+``spreadsheet_loader.py:1518-1520``, ``docs/IMPORTING.md:45-46``). The
+rebuild replaces that with deterministic Parquet stage checkpoints:
+
+- each checkpoint is a directory of part files written ATOMICALLY (write to a
+  ``.tmp-<pid>`` sibling, fsync-rename into place), plus a ``_manifest.json``
+  recording the input fingerprint, row count, and pipeline version;
+- a rerun with the same fingerprint reads the checkpoint instead of
+  recomputing — a crashed run resumes at the last completed stage;
+- a fingerprint mismatch (input or code changed) invalidates and recomputes.
+
+This also serves the single-session execution plan: branches of the pipeline
+that fan out from one intermediate (events → {entity, relation, tool, sameAs}
+branches) read the checkpoint instead of re-executing shared lineage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import ray.data
+
+MANIFEST = "_manifest.json"
+
+
+def file_fingerprint(path: str) -> str:
+    st = os.stat(path)
+    return f"{os.path.basename(path)}:{st.st_size}:{int(st.st_mtime)}"
+
+
+def is_valid(ckpt_dir: str, fingerprint: str) -> bool:
+    mf = os.path.join(ckpt_dir, MANIFEST)
+    if not os.path.exists(mf):
+        return False
+    try:
+        with open(mf) as f:
+            meta = json.load(f)
+        return meta.get("fingerprint") == fingerprint
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def checkpoint_dataset(make_ds, ckpt_dir: str, fingerprint: str,
+                       **write_kwargs) -> "ray.data.Dataset":
+    """Return a Dataset backed by ``ckpt_dir``; (re)compute only when the
+    manifest's fingerprint doesn't match.
+
+    ``make_ds`` is a zero-arg callable producing the Dataset to persist.
+    """
+    if not is_valid(ckpt_dir, fingerprint):
+        tmp = ckpt_dir.rstrip("/") + f".tmp-{os.getpid()}"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        ds = make_ds()
+        ds.write_parquet(tmp, **write_kwargs)
+        import pyarrow.parquet as pq
+        rows = sum(pq.read_metadata(os.path.join(tmp, p)).num_rows
+                   for p in os.listdir(tmp) if p.endswith(".parquet"))
+        with open(os.path.join(tmp, MANIFEST), "w") as f:
+            json.dump({"fingerprint": fingerprint, "rows": rows}, f)
+        if os.path.exists(ckpt_dir):
+            shutil.rmtree(ckpt_dir)
+        os.replace(tmp, ckpt_dir)
+    files = [os.path.join(ckpt_dir, p) for p in sorted(os.listdir(ckpt_dir))
+             if p.endswith(".parquet")]
+    return ray.data.read_parquet(files)

@@ -1,0 +1,275 @@
+"""Deterministic synthetic transcript + entity-table generator.
+
+Produces the rebuild's primary input per ``BASELINE.json`` ``input_hint``:
+
+- ``turns.parquet``    — ``(conv_id:string, turn_idx:int32, role:string,
+                          text:string, tool:string?, ts:timestamp[us])``
+- ``entities.parquet`` — the entity dimension (the analogue of the
+  reference's parts sheets, cf. ``spreadsheet_loader.py:54-111``):
+  ``(entity_id, name, part_type, view, state, source, revision, container)``
+
+Everything is a pure function of ``sf`` (no RNG object, no wall clock): each
+turn's content derives from a splitmix64 mix of ``(conv, turn)``, so any
+scale regenerates bit-identically, on any machine.
+
+The synthetic text embeds a small, explicit grammar that the extraction stage
+(and the DuckDB oracle) parse back out:
+
+- entity mentions are delimited: ``[[<alias>]]``
+- binary relations: ``[[a]] <relword> [[b]]`` with
+  relword ∈ {includes, depends on, is replaced by, documents, aka}
+  → predicates {hasComponent, dependsOn, hasAlternate, describes, sameAs}
+- tool turns carry a ``tool`` column value (hot-key skewed: ~50% "search")
+
+Alias variants exercise the reference's resolution outcomes
+(``spreadsheet_loader.py:1055-1080``): canonical name, UPPERCASE, padded
+whitespace, the canonical id itself (number-fallback path, ``:1063-1066``),
+``"123.0"``-style float formatting (``normalize_part_number`` ``:35-42``),
+unknown ghosts, and deliberately duplicated "twin" names (ambiguous,
+cf. ``tests/unit/test_spreadsheet_loader.py:164-184``).
+
+Structural guarantees relied on downstream:
+
+- ``includes`` edges stay within a 40-entity "family" block and point from
+  the lower to the higher id → the hasComponent graph is a sparse DAG whose
+  transitive closure is bounded per family (scale-safe, mirrors the shallow
+  BOM trees of the reference data, cf. docs/IMPLEMENTATION_SUMMARY.md:24-40).
+- ``aka`` (sameAs) edges link consecutive ids inside disjoint 3-entity
+  groups ``{3g, 3g+1, 3g+2}`` and always use id aliases → always resolvable;
+  connected components are ≤3 entities.
+- hot-key skew: ~20% of generic mention slots hit entities 0..9.
+- anaphora (the order-sensitive rule, analogue of the reference's
+  level-stack parse ``spreadsheet_loader.py:1160-1182``): some
+  single-mention turns say ``[[that one]]``, which refers to the most
+  recent non-anaphoric mention in *earlier turns of the same
+  conversation* — resolvable only under stable (conv_id, turn_idx)
+  ordering.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .functions.hashing import mix2
+
+ADJ = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+       "iota", "kappa", "lamda", "sigma", "omega", "crimson", "azure",
+       "amber", "ivory", "jade", "onyx", "pearl"]
+NOUN = ["rotor", "valve", "sensor", "bracket", "gasket", "manifold",
+        "spindle", "bearing", "coupler", "housing", "piston", "flange",
+        "damper", "gear", "shaft", "nozzle", "filter", "clamp", "pulley",
+        "liner"]
+TOOLS = ["search", "browse", "calc", "db_query", "code_run", "lookup"]
+TOPICS = ["engine", "track", "brake", "chassis", "throttle", "exhaust",
+          "coolant", "ignition"]
+ROLES = ["user", "assistant", "tool"]
+PREFIX = {"user": "please check", "assistant": "i reviewed", "tool": "result:"}
+RELWORDS = ["includes", "depends on", "is replaced by", "documents", "aka"]
+REL_PRED = ["hasComponent", "dependsOn", "hasAlternate", "describes", "sameAs"]
+
+FAMILY = 40          # includes-edge blocking factor (bounds closure size)
+PART_TYPES = ["MechanicalPart", "SoftwarePart", "Variant", "WTPart"]
+VIEWS = ["Design", "Manufacturing", "Service"]
+STATES = ["RELEASED", "DESIGN", "INPLANNING", "RELEASEDFORPRODUCTION",
+          "PRODUCTIONCHANGE"]
+REVISIONS = ["A", "B", "C", "D"]
+
+TS_BASE_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in microseconds
+
+DATA_ROOT = "/tmp/graft_data"
+SYNTH_VERSION = "2"  # bump on any generator change → new cache dir
+
+
+def n_entities_for(sf: float) -> int:
+    return max(60, int(round(200_000 * sf)))
+
+
+def n_conv_for(sf: float) -> int:
+    # ~6M*sf turns total at ~11 turns/conv (matches lineitem row scaling).
+    return max(8, int(round(6_000_000 * sf / 11.0)))
+
+
+def entity_name(k: int) -> str:
+    if k % 50 in (48, 49):
+        tw = k // 50
+        return f"twin {ADJ[tw % 20]} {NOUN[(tw // 20) % 20]} {tw}"
+    if k % 13 == 0:
+        return str(100_000 + k)
+    return f"{ADJ[k % 20]} {NOUN[(k // 20) % 20]} {k}"
+
+
+def make_entities(sf: float) -> pa.Table:
+    n = n_entities_for(sf)
+    k = np.arange(n)
+    names = [entity_name(int(i)) for i in k]
+    twin_mask = (k % 50 == 48)  # name shared with k+1 → ambiguous
+    return pa.table({
+        "entity_id": pa.array([f"P{i:07d}" for i in k], pa.string()),
+        "name": pa.array(names, pa.string()),
+        "part_type": pa.array([PART_TYPES[i % 4] for i in k], pa.string()),
+        "view": pa.array([VIEWS[i % 3] for i in k], pa.string()),
+        "state": pa.array([STATES[i % 5] for i in k], pa.string()),
+        "source": pa.array(["make" if i % 2 == 0 else "buy" for i in k], pa.string()),
+        "revision": pa.array(
+            [None if i % 5 == 4 else REVISIONS[i % 4] for i in k], pa.string()),
+        "container": pa.array(
+            [None if i % 7 == 6 else f"CONT{i % 7}" for i in k], pa.string()),
+        "is_twin_lead": pa.array(twin_mask.tolist(), pa.bool_()),
+    })
+
+
+def _alias(k: int, variant: int, h: int) -> str:
+    """Alias text for entity k under variant bucket ``variant`` ∈ [0,20)."""
+    name = entity_name(k)
+    if variant < 8:
+        return name
+    if variant < 11:
+        return name.upper()
+    if variant < 13:
+        return f" {name} "
+    if variant < 16:
+        return f"P{k:07d}"
+    if variant < 18:
+        return name + ".0" if name.isdigit() else name
+    return f"ghost item {h % 997}"
+
+
+def make_turns(sf: float) -> pa.Table:
+    n_ent = n_entities_for(sf)
+    n_conv = n_conv_for(sf)
+    n_fam = max(1, n_ent // FAMILY)
+    # sameAs groups {3g, 3g+1, 3g+2} cover only the first ~20% of ids, so
+    # canonicalization merges a realistic minority of the vocabulary
+    n_aka = max(1, n_ent // 15)
+
+    tpc = 6 + (np.arange(n_conv) % 11)          # turns per conv ∈ [6,16]
+    conv = np.repeat(np.arange(n_conv), tpc)
+    first = np.zeros(len(conv), dtype=np.int64)
+    first[np.cumsum(tpc)[:-1]] = np.cumsum(tpc)[:-1]
+    np.maximum.accumulate(first, out=first)
+    turn = np.arange(len(conv)) - first          # 0..tpc-1 within conv
+
+    h = mix2(conv.astype(np.uint64), turn.astype(np.uint64))
+    m = (h % np.uint64(4)).astype(np.int64)                     # mentions 0..3
+    rel = ((h >> np.uint64(29)) % np.uint64(6)).astype(np.int64)
+    rel[m < 2] = 5                                              # 5 = none
+
+    # family-blocked includes edges (rel==0): low id -> high id, same family
+    fam = ((h >> np.uint64(7)) % np.uint64(n_fam)).astype(np.int64)
+    o1 = ((h >> np.uint64(13)) % np.uint64(FAMILY)).astype(np.int64)
+    o2 = ((h >> np.uint64(19)) % np.uint64(FAMILY)).astype(np.int64)
+    rel[(rel == 0) & (o1 == o2)] = 5
+    inc_lo = fam * FAMILY + np.minimum(o1, o2)
+    inc_hi = fam * FAMILY + np.maximum(o1, o2)
+
+    # aka (sameAs) pairs inside disjoint 3-groups, id-alias operands
+    g = ((h >> np.uint64(13)) % np.uint64(n_aka)).astype(np.int64)
+    off = ((h >> np.uint64(19)) % np.uint64(2)).astype(np.int64)
+    aka_a = 3 * g + off
+    aka_b = aka_a + 1
+    rel[(rel == 4) & (aka_b >= n_ent)] = 5
+
+    # generic entity picks per slot (hot-key skew: 20% → entities 0..9)
+    ent = np.empty((3, len(conv)), dtype=np.int64)
+    var = np.empty((3, len(conv)), dtype=np.int64)
+    for i in range(3):
+        hot = ((h >> np.uint64(3 + 5 * i)) % np.uint64(5)) == 0
+        e = ((h >> np.uint64(11 + 7 * i)) % np.uint64(n_ent)).astype(np.int64)
+        e[hot] = (h[hot] % np.uint64(10)).astype(np.int64)
+        ent[i] = e
+        var[i] = ((h >> np.uint64(23 + 9 * i)) % np.uint64(20)).astype(np.int64)
+
+    # relation operands override slots 0/1
+    is_inc = rel == 0
+    ent[0][is_inc] = inc_lo[is_inc]
+    ent[1][is_inc] = inc_hi[is_inc]
+    is_aka = rel == 4
+    ent[0][is_aka] = aka_a[is_aka]
+    ent[1][is_aka] = aka_b[is_aka]
+    var[0][is_aka] = 14          # forced id alias → always resolvable
+    var[1][is_aka] = 14
+
+    role_idx = turn % 3
+    tool_pick = np.where(h % np.uint64(2) == 0, 0,
+                         1 + ((h >> np.uint64(8)) % np.uint64(5)).astype(np.int64))
+    has_topic = ((h >> np.uint64(41)) % np.uint64(3)) == 0
+    topic_idx = ((h >> np.uint64(37)) % np.uint64(8)).astype(np.int64)
+
+    anaphor = (m == 1) & (((h >> np.uint64(45)) % np.uint64(6)) == 0)
+
+    texts: list[str] = []
+    tools: list[str | None] = []
+    hi = h.astype(object)  # python ints for _alias ghosts
+    for j in range(len(conv)):
+        mj, rj = int(m[j]), int(rel[j])
+        if anaphor[j]:
+            aliases = ["that one"]
+        else:
+            aliases = [_alias(int(ent[i, j]), int(var[i, j]), int(hi[j]))
+                       for i in range(mj)]
+        if rj < 5 and mj >= 2:
+            core = f"[[{aliases[0]}]] {RELWORDS[rj]} [[{aliases[1]}]]"
+            if mj == 3:
+                core += f" with [[{aliases[2]}]]"
+        elif mj > 0:
+            core = " and ".join(f"[[{a}]]" for a in aliases)
+        else:
+            core = "status update"
+        role = ROLES[int(role_idx[j])]
+        parts = [PREFIX[role], core]
+        if has_topic[j]:
+            parts.append(TOPICS[int(topic_idx[j])])
+        texts.append(" ".join(parts))
+        tools.append(TOOLS[int(tool_pick[j])] if role == "tool" else None)
+
+    ts = TS_BASE_US + conv * 600_000_000 + turn * 7_000_000
+    return pa.table({
+        "conv_id": pa.array([f"c{int(c):08d}" for c in conv], pa.string()),
+        "turn_idx": pa.array(turn.astype(np.int32)),
+        "role": pa.array([ROLES[int(r)] for r in role_idx], pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "tool": pa.array(tools, pa.string()),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+    })
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.01
+
+
+def data_dir_for(sf_dir: str) -> str:
+    return os.path.join(DATA_ROOT, "v" + SYNTH_VERSION,
+                        os.path.basename(os.path.normpath(sf_dir)))
+
+
+def ensure_synth(sf_dir: str) -> dict[str, str]:
+    """Idempotently materialize turns/entities Parquet for this sf tier.
+
+    Returns ``{"turns": path, "entities": path, "dir": dir}``. Written
+    atomically (tmp + rename) so concurrent callers are safe.
+    """
+    out = data_dir_for(sf_dir)
+    sf = sf_from_dir(sf_dir)
+    paths = {"turns": os.path.join(out, "turns.parquet"),
+             "entities": os.path.join(out, "entities.parquet"),
+             "dir": out}
+    os.makedirs(out, exist_ok=True)
+    if not os.path.exists(paths["entities"]):
+        tmp = paths["entities"] + f".tmp.{os.getpid()}"
+        pq.write_table(make_entities(sf), tmp)
+        os.replace(tmp, paths["entities"])
+    if not os.path.exists(paths["turns"]):
+        tmp = paths["turns"] + f".tmp.{os.getpid()}"
+        pq.write_table(make_turns(sf), tmp, row_group_size=65536)
+        os.replace(tmp, paths["turns"])
+    return paths
