@@ -1,0 +1,115 @@
+"""Driver-contract query implementations (Ray side).
+
+Each function takes ``sf_dir`` and returns a Dataset / DataFrame whose
+column names match the corresponding DuckDB oracle in
+``pipelines.oracles`` exactly (the driver's comparator hashes values under
+sorted column names).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from .. import synth
+from ..stages.canonicalize import canonical_mapper
+from ..stages.closure import transitive_closure
+from ..stages.extract import topic_turns
+from . import kg
+
+
+def _mention_events(sf_dir: str):
+    return kg.resolved_events(sf_dir).filter(expr="kind == 'm'")
+
+
+def kg_mentions(sf_dir: str):
+    """Post-anaphora mention stream: (conv_id, turn_idx, ord, alias)."""
+    ev = _mention_events(sf_dir)
+    return ev.map_batches(
+        lambda b: pd.DataFrame({
+            "conv_id": b["conv_id"], "turn_idx": b["turn_idx"],
+            "ord": b["ord"], "alias": b["a"]}),
+        batch_format="pandas")
+
+
+def kg_resolution_status(sf_dir: str):
+    """Mention resolution outcome counts: (status, n) — A8 analogue."""
+    ev = _mention_events(sf_dir)
+    out = ev.groupby("a_status").aggregate(Count(alias_name="n"))
+    return out.map_batches(
+        lambda b: pd.DataFrame({"status": b["a_status"], "n": b["n"]}),
+        batch_format="pandas")
+
+
+def kg_sameas_canon(sf_dir: str):
+    """Canonicalization delta map: (entity_id, canon_id)."""
+    return kg.canonical_delta(sf_dir)
+
+
+def kg_first_mention(sf_dir: str):
+    """First-wins provenance per canonical entity: (canon_id, prov) — D1."""
+    delta = kg.canonical_delta(sf_dir)
+    canon = canonical_mapper(delta)
+    ev = _mention_events(sf_dir).filter(expr="a_status == 'resolved'")
+
+    def rows(b: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.triples import pk_series
+        return pd.DataFrame({
+            "canon_id": canon(b["a_id"]),
+            "prov": pk_series(b["conv_id"], b["turn_idx"]),
+        })
+
+    return ev.map_batches(rows, batch_format="pandas") \
+        .groupby("canon_id").aggregate(Min("prov", alias_name="prov"))
+
+
+def _canonical_component_edges(sf_dir: str):
+    delta = kg.canonical_delta(sf_dir)
+    canon = canonical_mapper(delta)
+    ev = kg.resolved_events(sf_dir).filter(
+        expr="kind == 'r' and pred == 'hasComponent' and "
+             "a_status == 'resolved' and b_status == 'resolved'")
+    return ev.map_batches(
+        lambda b: pd.DataFrame({"parent": canon(b["a_id"]),
+                                "child": canon(b["b_id"])}),
+        batch_format="pandas")
+
+
+def kg_closure(sf_dir: str):
+    """Transitive closure pairs over canonical hasComponent edges — A6."""
+    return transitive_closure(_canonical_component_edges(sf_dir))
+
+
+def kg_triples(sf_dir: str):
+    """The headline: the full deduplicated (subj, pred, obj) triple set."""
+    return kg.triples_dataset(sf_dir).select_columns(["subj", "pred", "obj"])
+
+
+def kg_pred_counts(sf_dir: str):
+    """Triple mix by predicate: (pred, n) — A1 statistics analogue."""
+    return kg.triples_dataset(sf_dir).groupby("pred") \
+        .aggregate(Count(alias_name="n"))
+
+
+def kg_topic_turns(sf_dir: str):
+    """Keyword-predicate filter counts (M5 analogue): (topic, n)."""
+    paths = synth.ensure_synth(sf_dir)
+    turns = ray.data.read_parquet(paths["turns"],
+                                  columns=["conv_id", "turn_idx", "text"])
+    hits = turns.map_batches(
+        lambda b: topic_turns(b, synth.TOPICS), batch_format="pyarrow")
+    return hits.groupby("topic").aggregate(Count(alias_name="n"))
+
+
+def kg_tool_usage(sf_dir: str):
+    """Distinct conversations per tool: (tool, n_convs) — A2 analogue."""
+    import pyarrow.compute as pc
+
+    paths = synth.ensure_synth(sf_dir)
+    turns = ray.data.read_parquet(paths["turns"], columns=["conv_id", "tool"])
+    pairs = turns.map_batches(
+        lambda t: t.filter(pc.is_valid(t["tool"])), batch_format="pyarrow") \
+        .groupby(["tool", "conv_id"]).aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"])
+    return pairs.groupby("tool").aggregate(Count(alias_name="n_convs"))

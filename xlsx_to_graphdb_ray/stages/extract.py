@@ -146,14 +146,14 @@ def topic_turns(batch: pa.Table, topics: list[str]) -> pa.Table:
     """Keyword predicate filter (M5 analogue, ref
     ``analyze_snowmobile_data.py:142-157``): turns whose text contains any
     topic keyword, emitted as (conv_id, turn_idx, topic)."""
-    pat = "(" + "|".join(re.escape(t) for t in topics) + ")$"
+    pat = "(?P<topic>" + "|".join(re.escape(t) for t in topics) + ")$"
     # topics are appended as the final token by the generator; a generic
     # engine would use match_substring — anchored here to avoid matching
     # entity names that happen to contain a topic word.
     topic = pc.extract_regex(batch["text"], pat)
     ok = pc.is_valid(topic)
     t = batch.filter(ok)
-    topic_vals = pc.struct_field(topic.filter(ok), [0])
+    topic_vals = pc.struct_field(topic.filter(ok), "topic")
     return pa.table({
         "conv_id": t["conv_id"],
         "turn_idx": t["turn_idx"],
