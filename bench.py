@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline KG pipeline over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "kg_triples_e2e", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <float>, "num_cpus": N,
+   "triples": T, "turns": U, "triples_per_sec": ..., "turns_per_sec": ...}
+
+``--scaling`` runs the same job in two fresh processes (num_cpus=8 and 32)
+on the same input and reports both plus scaling efficiency
+(cluster-free evidence protocol per BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from xlsx_to_graphdb_ray import synth
+    from xlsx_to_graphdb_ray.pipelines import kg
+    from xlsx_to_graphdb_ray.pipelines import queries as q
+
+    # untimed: materialize synthetic input + warm the page cache
+    paths = synth.ensure_synth(sf_dir)
+    import pyarrow.parquet as pq
+    turns_rows = pq.read_metadata(paths["turns"]).num_rows
+    pq.read_table(paths["turns"])  # warm read
+
+    # untimed warm-up: run the full pipeline at sf0.001 so Ray worker
+    # processes, actor pools and imports are up before the timed run
+    # (measures pipeline compute + shuffle, not session cold-start)
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.exists(kg.workdir(warm_sf)):
+        shutil.rmtree(kg.workdir(warm_sf))
+    kg.triples_dataset(warm_sf).count()
+
+    # cold pipeline: wipe checkpoints so the timed run does the full work
+    wd = kg.workdir(sf_dir)
+    if os.path.exists(wd):
+        shutil.rmtree(wd)
+
+    t0 = time.perf_counter()
+    triples = kg.triples_dataset(sf_dir)
+    n_triples = triples.count()
+    t_pipeline = time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = round(time.perf_counter() - t, 3)
+
+    # warm queries (reuse the stage checkpoints, like a resumed run)
+    timed("kg_pred_counts", q.kg_pred_counts)
+    timed("kg_closure", q.kg_closure)
+    timed("kg_topic_turns", q.kg_topic_turns)
+    timed("kg_tool_usage", q.kg_tool_usage)
+    timed("kg_resolution_status", q.kg_resolution_status)
+
+    out = {
+        "metric": "kg_triples_e2e",
+        "value": round(t_pipeline, 3),
+        "unit": "sec",
+        "queries": {"kg_triples_cold": round(t_pipeline, 3), **timings},
+        "sf": synth.sf_from_dir(sf_dir),
+        "num_cpus": num_cpus,
+        "triples": int(n_triples),
+        "turns": int(turns_rows),
+        "triples_per_sec": round(n_triples / t_pipeline, 1),
+        "turns_per_sec": round(turns_rows / t_pipeline, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 vs 32 → scaling efficiency.
+
+    Runs on a larger synthetic tier (default sf0.5, ~3M turns) than the
+    throughput bench: at sf0.1 the whole pipeline finishes in ~15 s and is
+    execution-latency-bound, which measures Ray's fixed orchestration cost,
+    not how the job scales. Identical input for both parallelism levels.
+    """
+    scale_dir = os.environ.get("GRAFT_SCALING_SF_DIR", "/tmp/graft_scale/sf2")
+    lo = int(os.environ.get("GRAFT_SCALING_CPUS_LO", "2"))
+    hi = lo * 4  # the N vs 4N protocol
+    results = {}
+    for ncpu in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SF_DIR=scale_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    return {
+        "metric": "scaling_efficiency",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"throughput_{lo}_triples_per_sec": results[lo]["triples_per_sec"],
+        f"throughput_{hi}_triples_per_sec": results[hi]["triples_per_sec"],
+        "speedup": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round((t_lo / t_hi) / (hi / lo), 3),
+        "sf": results[hi]["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -21,9 +21,9 @@ def test_mentions_with_ord():
         ("c1", 2, "one [[GAMMA SENSOR 3]]", None),
     ])
     ev = extract_events(t).to_pydict()
-    m = [(c, i, o, a) for c, i, o, k, a in zip(
+    m = sorted((c, i, o, a) for c, i, o, k, a in zip(
         ev["conv_id"], ev["turn_idx"], ev["ord"], ev["kind"], ev["a"])
-        if k == "m"]
+        if k == "m")
     assert m == [
         ("c1", 0, 0, "alpha rotor 1"),
         ("c1", 0, 1, " beta valve 2 "),

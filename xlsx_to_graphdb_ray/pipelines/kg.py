@@ -6,44 +6,50 @@ derive → serialize → POST) as a streaming Ray Data pipeline:
 
     read_parquet(turns)
       → map_batches(extract_events)           [pyarrow, stateless tasks]
-      → groupby(conv_id).map_groups(anaphora) [order-sensitive, small events]
+      → groupby(conv_bucket).map_groups(anaphora) [order-sensitive, events only]
       → map_batches(Resolver, actor pool)     [broadcast entity dictionary]
       →  ═ checkpoint: events_resolved/ ═
       → branches: sameAs → connected components → canonical map (broadcast)
-                  mentions → first-mention groupby → entity triples
+                  mentions → first-mention pre-agg → entity triples
                   relations → relation + reverse usedIn triples
                   hasComponent edges → semi-naïve closure → partOfAssembly
                   tool events → usedTool triples
-      → union → first-wins dedup (groupby Min(prov))
+      → first-wins dedup (bucketed two-phase Min) on the branches that can
+        repeat (relations/tools); entity + closure branches are distinct by
+        construction and bypass the exchange
       →  ═ checkpoint: triples/ ═  (partitionable by pred; K1 sink analogue)
 
-Stage boundaries are resumable Parquet checkpoints with fingerprint
-manifests (state/checkpoint.py); branches read the checkpoint instead of
-re-executing shared lineage.
+All hot per-batch work is Arrow kernels (``pyarrow.compute``); pandas only
+where a kernel needs it. Stage boundaries are resumable Parquet checkpoints
+with fingerprint manifests (state/checkpoint.py); branches read the
+checkpoint instead of re-executing shared lineage.
 """
 
 from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Min
 
 from .. import synth
-from ..functions.normalize import ONT, RDFS_LABEL
+from ..config import tune_context
+from ..functions.normalize import ONT, RDF_TYPE, RDFS_LABEL
 from ..stages import triples as T
 from ..stages.anaphora import substitute_anaphora
-from ..stages.canonicalize import canonical_mapper, sameas_components
+from ..stages.canonicalize import sameas_components
 from ..stages.closure import transitive_closure
 from ..stages.dictionary import build_lookup_dicts
 from ..stages.extract import extract_events
 from ..stages.resolve import resolve_events
+from ..stages.shuffle import grouped_agg
 from ..state.checkpoint import checkpoint_dataset, file_fingerprint
 
-PIPELINE_VERSION = "4"
+PIPELINE_VERSION = "5"
 
 CKPT_ROOT = "/tmp/graft_ckpt"
 
@@ -66,19 +72,23 @@ def _fingerprint(paths: dict[str, str]) -> str:
 
 def resolved_events(sf_dir: str) -> ray.data.Dataset:
     """Checkpointed: extraction events with resolution columns attached."""
+    tune_context()
     paths = synth.ensure_synth(sf_dir)
     fp = _fingerprint(paths)
 
     def make():
+        from ..state.checkpoint import default_blocks
         turns = ray.data.read_parquet(
-            paths["turns"], columns=["conv_id", "turn_idx", "text", "tool"])
+            paths["turns"], columns=["conv_id", "turn_idx", "text", "tool"],
+            override_num_blocks=default_blocks())
         events = turns.map_batches(extract_events, batch_format="pyarrow")
         events = substitute_anaphora(events)
         lookups = build_lookup_dicts(paths["entities"])
         return resolve_events(events, lookups)
 
     return checkpoint_dataset(
-        make, os.path.join(workdir(sf_dir), "events_resolved"), fp)
+        make, os.path.join(workdir(sf_dir), "events_resolved"), fp,
+        min_rows_per_file=250_000)
 
 
 def canonical_delta(sf_dir: str) -> pd.DataFrame:
@@ -108,99 +118,181 @@ def _entities_lookup(sf_dir: str) -> pd.DataFrame:
     return pq.read_table(paths["entities"]).to_pandas().set_index("entity_id")
 
 
+# --- Arrow kernels shared by the branches ----------------------------------
+
+def _pk(conv: pa.ChunkedArray, tidx: pa.ChunkedArray) -> pa.Array:
+    """Stable provenance key ``conv_id:zero-padded turn`` (D1 coordinate)."""
+    t = pc.utf8_lpad(pc.cast(tidx, pa.string()), 6, "0")
+    return pc.binary_join_element_wise(conv, t, ":")
+
+
+def _uri(ids, ns: str = T.ENTITY_NS):
+    return pc.binary_join_element_wise(pa.scalar(ns), ids, pa.scalar(""))
+
+
+def _canon_fn(delta: pd.DataFrame):
+    keys = pa.array(delta["entity_id"].astype(str))
+    vals = pa.array(delta["canon_id"].astype(str))
+
+    def canon(ids):
+        if len(keys) == 0:
+            return ids
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pc.coalesce(pc.take(vals, pc.index_in(ids, keys)), ids)
+
+    return canon
+
+
+def _const(n: int, val: str) -> pa.Array:
+    return pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(n, dtype=np.int32)), pa.array([val])).cast(pa.string()) \
+        if n else pa.array([], pa.string())
+
+
+def first_mentions(sf_dir: str) -> ray.data.Dataset:
+    """(canon_id, prov=min pk) over resolved mentions — the D1 first-wins
+    coordinate per canonical entity. Small result (entity cardinality)."""
+    ev = resolved_events(sf_dir)
+    canon = _canon_fn(canonical_delta(sf_dir))
+
+    def mention_rows(b: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(b["kind"], "m"),
+                       pc.equal(b["a_status"], "resolved"))
+        m = b.filter(mask)
+        return pa.table({"canon_id": canon(m["a_id"]),
+                         "prov": _pk(m["conv_id"], m["turn_idx"])})
+
+    # bucketed (not single-task) combine: the result is entity-cardinality,
+    # which at scale is too large for one worker to finalize alone
+    return grouped_agg(ev.map_batches(mention_rows, batch_format="pyarrow"),
+                       ["canon_id"], [("prov", "prov", "min")], n_buckets=16)
+
+
 def build_triples(sf_dir: str, *, include_closure: bool = True,
                   dedup: bool = True) -> ray.data.Dataset:
     """The full triple set (pre-checkpoint Dataset)."""
     ev = resolved_events(sf_dir)
-    delta = canonical_delta(sf_dir)
-    canon = canonical_mapper(delta)
-    ent_lookup = _entities_lookup(sf_dir)
-    ent_ref = ray.put(ent_lookup)
+    canon = _canon_fn(canonical_delta(sf_dir))
+    ent_ref = ray.put(_entities_lookup(sf_dir))
 
-    # --- mentions → first-mention per canonical entity → entity triples
-    def mention_rows(b: pd.DataFrame) -> pd.DataFrame:
-        m = b[(b["kind"] == "m") & (b["a_status"] == "resolved")]
-        return pd.DataFrame({
-            "canon_id": canon(m["a_id"]),
-            "prov": T.pk_series(m["conv_id"], m["turn_idx"]),
-        })
+    # --- entity triples: first mention per canonical entity → attr fan-out
+    # (F1, ref build_part_triples :878-917); task-mode with the entity
+    # dimension broadcast via ray.put (fetched from the local object store)
+    def entity_fanout(b: pd.DataFrame, *, ent_ref) -> pd.DataFrame:
+        ent = ray.get(ent_ref) if isinstance(ent_ref, ray.ObjectRef) else ent_ref
+        attrs = ent.reindex(b["canon_id"])
+        merged = pd.DataFrame({
+            "canon_id": b["canon_id"].values, "prov": b["prov"].values})
+        for c in ("name", "part_type", "view", "state", "source",
+                  "revision", "container"):
+            merged[c] = attrs[c].values
+        return T.entity_triples_batch(merged)
 
-    first_mention = (
-        ev.map_batches(mention_rows, batch_format="pandas")
-        .groupby("canon_id").aggregate(Min("prov", alias_name="prov"))
-    )
-
-    class EntityTriples:
-        """Actor: entity attrs fetched once, fan-out per batch (F1)."""
-
-        def __init__(self, ent_ref):
-            self.ent = ray.get(ent_ref) if isinstance(ent_ref, ray.ObjectRef) \
-                else ent_ref
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            attrs = self.ent.reindex(b["canon_id"])
-            merged = pd.DataFrame({
-                "canon_id": b["canon_id"].values,
-                "prov": b["prov"].values,
-                "name": attrs["name"].values,
-                "part_type": attrs["part_type"].values,
-                "view": attrs["view"].values,
-                "state": attrs["state"].values,
-                "source": attrs["source"].values,
-                "revision": attrs["revision"].values,
-                "container": attrs["container"].values,
-            })
-            return T.entity_triples_batch(merged)
-
-    entity_triples = first_mention.map_batches(
-        EntityTriples, fn_constructor_kwargs={"ent_ref": ent_ref},
-        batch_format="pandas", concurrency=(1, 4))
+    entity_triples = first_mentions(sf_dir).map_batches(
+        entity_fanout, fn_kwargs={"ent_ref": ent_ref},
+        batch_format="pandas")
 
     # --- relations (both endpoints resolved, sameAs consumed upstream)
-    def relation_rows(b: pd.DataFrame) -> pd.DataFrame:
-        r = b[(b["kind"] == "r") & (b["pred"] != "sameAs")
-              & (b["a_status"] == "resolved") & (b["b_status"] == "resolved")]
-        return pd.DataFrame({
+    def relation_rows(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.equal(b["kind"], "r"),
+                    pc.invert(pc.equal(b["pred"], "sameAs"))),
+            pc.and_(pc.equal(b["a_status"], "resolved"),
+                    pc.equal(b["b_status"], "resolved")))
+        r = b.filter(mask)
+        return pa.table({
             "pred": r["pred"],
             "a_canon": canon(r["a_id"]),
             "b_canon": canon(r["b_id"]),
-            "prov": T.pk_series(r["conv_id"], r["turn_idx"]),
+            "prov": _pk(r["conv_id"], r["turn_idx"]),
         })
 
-    rel_rows = ev.map_batches(relation_rows, batch_format="pandas")
-    relation_triples = rel_rows.map_batches(
-        T.relation_triples_batch, batch_format="pandas")
+    rel_rows = ev.map_batches(relation_rows, batch_format="pyarrow") \
+        .materialize()  # derived, small; reused by triples + closure branches
+
+    def relation_triples(b: pa.Table) -> pa.Table:
+        n = len(b)
+        direct = pa.table({
+            "subj": _uri(b["a_canon"]),
+            "pred": _uri(b["pred"], ONT),
+            "obj": _uri(b["b_canon"]),
+            "obj_lit": pa.array(np.zeros(n, dtype=bool)),
+            "prov": b["prov"].combine_chunks()
+            if isinstance(b["prov"], pa.ChunkedArray) else b["prov"],
+        })
+        c = b.filter(pc.equal(b["pred"], "hasComponent"))
+        rev = pa.table({
+            "subj": _uri(c["b_canon"]),
+            "pred": _const(len(c), ONT + "usedIn"),
+            "obj": _uri(c["a_canon"]),
+            "obj_lit": pa.array(np.zeros(len(c), dtype=bool)),
+            "prov": c["prov"].combine_chunks()
+            if isinstance(c["prov"], pa.ChunkedArray) else c["prov"],
+        })
+        return pa.concat_tables([direct, rev]).combine_chunks()
+
+    relation_triples_ds = rel_rows.map_batches(
+        relation_triples, batch_format="pyarrow")
 
     # --- tool provenance triples
-    tool_triples = ev.filter(expr="kind == 't'").map_batches(
-        T.tool_triples_batch, batch_format="pandas")
+    def tool_triples(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["kind"], "t"))
+        return pa.table({
+            "subj": _uri(t["conv_id"], T.CONV_NS),
+            "pred": _const(len(t), ONT + "usedTool"),
+            "obj": t["a"].combine_chunks()
+            if isinstance(t["a"], pa.ChunkedArray) else t["a"],
+            "obj_lit": pa.array(np.ones(len(t), dtype=bool)),
+            "prov": _pk(t["conv_id"], t["turn_idx"]),
+        })
 
-    parts = [entity_triples, relation_triples, tool_triples]
+    tool_triples_ds = ev.map_batches(tool_triples, batch_format="pyarrow")
+
+    # relations/tools can repeat across turns → first-wins dedup exchange;
+    # entity (pre-grouped) and closure (set-valued) branches are already
+    # distinct and skip the shuffle
+    direct = relation_triples_ds.union(tool_triples_ds)
+    if dedup:
+        direct = T.dedup_first_wins(direct)
+
+        def add_obj_lit(b: pa.Table) -> pa.Table:
+            lit = pc.is_in(b["pred"],
+                           value_set=pa.array(sorted(_LIT_PREDS)))
+            return b.append_column("obj_lit", lit)
+
+        direct = direct.map_batches(add_obj_lit, batch_format="pyarrow")
+
+    parts = [entity_triples, direct]
 
     # --- transitive closure over canonical hasComponent edges (A6)
     if include_closure:
-        comp_edges = rel_rows.filter(expr="pred == 'hasComponent'") \
-            .map_batches(lambda b: pd.DataFrame(
-                {"parent": b["a_canon"], "child": b["b_canon"]}),
-                batch_format="pandas")
+        comp_edges = rel_rows.map_batches(
+            lambda b: pa.table({"parent": b["a_canon"], "child": b["b_canon"]})
+            .filter(pc.equal(b["pred"], "hasComponent")),
+            batch_format="pyarrow")
         paths_ds = transitive_closure(comp_edges)
+
+        def closure_triples(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "subj": _uri(b["desc"]),
+                "pred": _const(len(b), ONT + "partOfAssembly"),
+                "obj": _uri(b["anc"]),
+                "obj_lit": pa.array(np.zeros(len(b), dtype=bool)),
+                "prov": _const(len(b), ""),
+            })
+
         parts.append(paths_ds.map_batches(
-            T.closure_triples_batch, batch_format="pandas"))
+            closure_triples, batch_format="pyarrow"))
 
-    all_triples = parts[0]
-    for p in parts[1:]:
-        all_triples = all_triples.union(p)
-    if not dedup:
-        return all_triples
+    def norm_cols(b: pa.Table) -> pa.Table:
+        return b.select(T.TRIPLE_COLS).cast(T.TRIPLE_SCHEMA)
 
-    deduped = T.dedup_first_wins(all_triples)
-
-    def add_obj_lit(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["obj_lit"] = b["pred"].isin(_LIT_PREDS)
-        return b[T.TRIPLE_COLS]
-
-    return deduped.map_batches(add_obj_lit, batch_format="pandas")
+    normed = [p.map_batches(norm_cols, batch_format="pyarrow") for p in parts]
+    out = normed[0]
+    for p in normed[1:]:
+        out = out.union(p)
+    return out
 
 
 def triples_dataset(sf_dir: str) -> ray.data.Dataset:
@@ -209,7 +301,8 @@ def triples_dataset(sf_dir: str) -> ray.data.Dataset:
     fp = _fingerprint(paths)
     return checkpoint_dataset(
         lambda: build_triples(sf_dir),
-        os.path.join(workdir(sf_dir), "triples"), fp)
+        os.path.join(workdir(sf_dir), "triples"), fp,
+        min_rows_per_file=250_000)
 
 
 def write_triples(sf_dir: str, out_dir: str) -> str:
@@ -222,7 +315,6 @@ def write_triples(sf_dir: str, out_dir: str) -> str:
     ds = triples_dataset(sf_dir)
 
     def short_pred(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         sp = pc.replace_substring_regex(b["pred"], r"^.*[:#]", "")
         return b.append_column("pred_short", sp)
 

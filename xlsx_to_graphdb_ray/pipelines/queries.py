@@ -10,12 +10,12 @@ from __future__ import annotations
 
 import pandas as pd
 import ray.data
-from ray.data.aggregate import Count, Min
 
 from .. import synth
 from ..stages.canonicalize import canonical_mapper
 from ..stages.closure import transitive_closure
 from ..stages.extract import topic_turns
+from ..stages.shuffle import grouped_agg, grouped_distinct
 from . import kg
 
 
@@ -36,7 +36,8 @@ def kg_mentions(sf_dir: str):
 def kg_resolution_status(sf_dir: str):
     """Mention resolution outcome counts: (status, n) — A8 analogue."""
     ev = _mention_events(sf_dir)
-    out = ev.groupby("a_status").aggregate(Count(alias_name="n"))
+    out = grouped_agg(ev, ["a_status"], [("n", None, "count")],
+                      small_result=True)
     return out.map_batches(
         lambda b: pd.DataFrame({"status": b["a_status"], "n": b["n"]}),
         batch_format="pandas")
@@ -49,19 +50,7 @@ def kg_sameas_canon(sf_dir: str):
 
 def kg_first_mention(sf_dir: str):
     """First-wins provenance per canonical entity: (canon_id, prov) — D1."""
-    delta = kg.canonical_delta(sf_dir)
-    canon = canonical_mapper(delta)
-    ev = _mention_events(sf_dir).filter(expr="a_status == 'resolved'")
-
-    def rows(b: pd.DataFrame) -> pd.DataFrame:
-        from ..stages.triples import pk_series
-        return pd.DataFrame({
-            "canon_id": canon(b["a_id"]),
-            "prov": pk_series(b["conv_id"], b["turn_idx"]),
-        })
-
-    return ev.map_batches(rows, batch_format="pandas") \
-        .groupby("canon_id").aggregate(Min("prov", alias_name="prov"))
+    return kg.first_mentions(sf_dir)
 
 
 def _canonical_component_edges(sf_dir: str):
@@ -88,8 +77,8 @@ def kg_triples(sf_dir: str):
 
 def kg_pred_counts(sf_dir: str):
     """Triple mix by predicate: (pred, n) — A1 statistics analogue."""
-    return kg.triples_dataset(sf_dir).groupby("pred") \
-        .aggregate(Count(alias_name="n"))
+    return grouped_agg(kg.triples_dataset(sf_dir), ["pred"],
+                       [("n", None, "count")], small_result=True)
 
 
 def kg_topic_turns(sf_dir: str):
@@ -99,7 +88,8 @@ def kg_topic_turns(sf_dir: str):
                                   columns=["conv_id", "turn_idx", "text"])
     hits = turns.map_batches(
         lambda b: topic_turns(b, synth.TOPICS), batch_format="pyarrow")
-    return hits.groupby("topic").aggregate(Count(alias_name="n"))
+    return grouped_agg(hits, ["topic"], [("n", None, "count")],
+                       small_result=True)
 
 
 def kg_tool_usage(sf_dir: str):
@@ -108,8 +98,9 @@ def kg_tool_usage(sf_dir: str):
 
     paths = synth.ensure_synth(sf_dir)
     turns = ray.data.read_parquet(paths["turns"], columns=["conv_id", "tool"])
-    pairs = turns.map_batches(
-        lambda t: t.filter(pc.is_valid(t["tool"])), batch_format="pyarrow") \
-        .groupby(["tool", "conv_id"]).aggregate(Count(alias_name="_n")) \
-        .drop_columns(["_n"])
-    return pairs.groupby("tool").aggregate(Count(alias_name="n_convs"))
+    pairs = grouped_distinct(
+        turns.map_batches(
+            lambda t: t.filter(pc.is_valid(t["tool"])), batch_format="pyarrow"),
+        ["tool", "conv_id"], small_result=True)
+    return grouped_agg(pairs, ["tool"], [("n_convs", None, "count")],
+                       small_result=True)

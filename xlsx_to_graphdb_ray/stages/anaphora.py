@@ -41,10 +41,17 @@ def add_conv_bucket(batch: pd.DataFrame, n_buckets: int = N_BUCKETS) -> pd.DataF
 
 
 def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
-    """One hash-bucket of conversations → anaphors substituted, vectorized."""
-    g = g.sort_values(["conv_id", "turn_idx", "ord", "kind"],
-                      kind="mergesort").reset_index(drop=True)
-    is_m = g["kind"] == "m"
+    """One hash-bucket of conversations → anaphors substituted, vectorized.
+
+    Works on the mention projection (no ``kind`` column) or on a full event
+    frame (non-mention rows pass through as carrier-transparent).
+    """
+    sort_cols = ["conv_id", "turn_idx", "ord"]
+    if "kind" in g.columns:
+        sort_cols = sort_cols + ["kind"]
+    g = g.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    is_m = (g["kind"] == "m") if "kind" in g.columns \
+        else pd.Series(True, index=g.index)
     is_ana = is_m & (g["a"] == ANAPHOR)
     carrier = g["a"].where(is_m & ~is_ana)
     by_conv = carrier.groupby(g["conv_id"], sort=False)
@@ -52,7 +59,7 @@ def resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
     g.loc[is_ana, "a"] = prev[is_ana]
     # an anaphor with no antecedent stays unresolvable → keep marker (unknown)
     g["a"] = g["a"].fillna(ANAPHOR)
-    return g.drop(columns=["conv_bucket"])
+    return g.drop(columns=["conv_bucket"], errors="ignore")
 
 
 def substitute_anaphora(events_ds, n_buckets: int = N_BUCKETS):

@@ -27,17 +27,17 @@ Two interchangeable implementations behind ``sameas_components``:
 from __future__ import annotations
 
 import pandas as pd
-from ray.data.aggregate import Count, Max, Min
+from ray.data.aggregate import Max
 
 from .joins import hash_join
+from .shuffle import grouped_agg, grouped_distinct
 
 _NPART = 16
 DRIVER_LIMIT = 2_000_000  # pairs; above this, auto uses the distributed path
 
 
 def _distinct(ds, cols):
-    """Shuffle-distinct via an algebraic aggregate (no per-group row lists)."""
-    return ds.groupby(cols).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    return grouped_distinct(ds, cols, n_buckets=_NPART)
 
 
 def _as_arrow(ds):
@@ -75,14 +75,21 @@ def sameas_components(pairs_ds, method: str = "auto",
 
     Only non-identity mappings are returned (the broadcastable delta map).
     """
-    n_pairs = pairs_ds.count()
-    if n_pairs == 0:
+    if method in ("auto", "driver"):
+        # single execution: pull the (derived, small) pair list and dispatch
+        # on its actual size — to_pandas(limit) raises past the threshold
+        try:
+            pairs = pairs_ds.select_columns(["a_id", "b_id"]) \
+                .to_pandas(limit=DRIVER_LIMIT)
+            if len(pairs) == 0:
+                return pd.DataFrame({"entity_id": [], "canon_id": []})
+            return _union_find(pairs)
+        except ValueError:
+            if method == "driver":
+                raise
+            method = "distributed"
+    if pairs_ds.count() == 0:
         return pd.DataFrame({"entity_id": [], "canon_id": []})
-    if method == "auto":
-        method = "driver" if n_pairs <= DRIVER_LIMIT else "distributed"
-    if method == "driver":
-        pairs = pairs_ds.select_columns(["a_id", "b_id"]).to_pandas()
-        return _union_find(pairs)
 
     def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
         fwd = pd.DataFrame({"u": b["a_id"], "v": b["b_id"]})
@@ -109,12 +116,10 @@ def sameas_components(pairs_ds, method: str = "auto",
             lambda b: pd.DataFrame({"node": b["v"], "label": b["label"]}),
             batch_format="pandas",
         )
-        new_labels = (
-            _as_arrow(flowed).union(_as_arrow(labels))
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
+        new_labels = grouped_agg(
+            _as_arrow(flowed).union(_as_arrow(labels)),
+            ["node"], [("label", "label", "min")], n_buckets=_NPART,
+        ).materialize()
         changed = (
             hash_join(new_labels, labels, on=["node"], n_buckets=_NPART,
                       suffix="_old")

@@ -26,17 +26,18 @@ Two implementations behind ``transitive_closure``:
 from __future__ import annotations
 
 import pandas as pd
+import pandas.util
 import ray.data
-from ray.data.aggregate import Count
 
 from .joins import hash_join
+from .shuffle import grouped_distinct
 
 _NPART = 16
 DRIVER_LIMIT = 2_000_000  # edges; above this, auto uses the distributed path
 
 
 def _distinct(ds, cols):
-    return ds.groupby(cols).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    return grouped_distinct(ds, cols, n_buckets=_NPART)
 
 
 def closure_pandas(edges: pd.DataFrame, max_rounds: int = 64) -> pd.DataFrame:
@@ -60,21 +61,64 @@ def closure_pandas(edges: pd.DataFrame, max_rounds: int = 64) -> pd.DataFrame:
     return paths.sort_values(["anc", "desc"]).reset_index(drop=True)
 
 
+def _closure_by_component(edges: pd.DataFrame, max_rounds: int) -> "ray.data.Dataset":
+    """Component-partitioned closure: reachability never crosses a weakly-
+    connected component, so the closure of a disjoint union is the union of
+    per-component closures. Label components with driver union-find (the
+    edge list already fits on the driver here), hash components into
+    buckets, and run the vectorized BFS per bucket IN PARALLEL via
+    ``groupby(bucket).map_groups`` — the closure output is born distributed
+    (one block per bucket) instead of one giant driver block. This is also
+    the skew story: a hot root only inflates its own component's bucket."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in zip(edges["parent"], edges["child"]):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[rv] = ru
+
+    comp = edges["parent"].map(lambda x: find(x))
+    buckets = (pandas.util.hash_pandas_object(comp.astype(str), index=False)
+               % _NPART).astype("int32")
+
+    # partition on the driver (edges are already here) → one block per
+    # bucket, no shuffle op at all; closure runs as parallel map tasks
+    blocks = [g[["parent", "child"]].reset_index(drop=True)
+              for _, g in edges.groupby(buckets, sort=False)]
+    return ray.data.from_pandas(blocks).map_batches(
+        lambda g: closure_pandas(g, max_rounds),
+        batch_format="pandas", batch_size=None)
+
+
 def transitive_closure(edges_ds, method: str = "auto", max_rounds: int = 64):
     """Dataset of (parent, child) → Dataset of (anc, desc) (materialized).
 
     Result contains every pair with a directed path parent →+ child.
     """
-    if method == "auto":
-        method = "driver" if edges_ds.count() <= DRIVER_LIMIT else "distributed"
-    if method == "driver":
-        edges = edges_ds.select_columns(["parent", "child"]).to_pandas()
-        out = closure_pandas(edges, max_rounds)
-        if out.empty:
-            return ray.data.from_items([]).map_batches(
-                lambda b: pd.DataFrame({"anc": [], "desc": []}),
-                batch_format="pandas")
-        return ray.data.from_pandas(out)
+    if method in ("auto", "driver"):
+        # single execution: pull the (derived, small) edge list and dispatch
+        # on its actual size — to_pandas(limit) raises past the threshold
+        try:
+            edges = edges_ds.select_columns(["parent", "child"]) \
+                .to_pandas(limit=DRIVER_LIMIT)
+        except ValueError:
+            if method == "driver":
+                raise
+            edges = None
+        if edges is not None:
+            if edges.empty:
+                return ray.data.from_pandas(
+                    pd.DataFrame({"anc": pd.Series([], dtype=object),
+                                  "desc": pd.Series([], dtype=object)}))
+            return _closure_by_component(edges, max_rounds)
 
     base = _distinct(
         edges_ds.map_batches(

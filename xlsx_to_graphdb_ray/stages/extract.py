@@ -11,18 +11,19 @@ extraction *events*:
 - ``m``: one row per ``[[alias]]`` mention, ``a`` = raw alias text, ``ord`` =
   occurrence index within the turn (position order — the stable coordinate
   the anaphora stage and first-wins dedup rely on).
-- ``r``: one row per relation phrase ``[[a]] <relword> [[b]]``; ``pred`` is
-  the mapped ontology predicate. Operand aliases also appear as ``m`` rows.
+- ``r``: one row per turn matching a relation phrase ``[[a]] <relword>
+  [[b]]`` (first occurrence per turn — one relation clause per turn is the
+  grammar; the DuckDB oracle uses the same first-match semantics); ``pred``
+  is the mapped ontology predicate. Operand aliases also appear as ``m``
+  rows.
 - ``t``: one row per tool turn; ``a`` = tool name, ``pred`` = ``usedTool``.
 
-Implementation note (hot path, scale): instead of a Python loop running the
-regex once per row, each batch's texts are joined into a single buffer with a
-``\\x00`` separator and scanned with ONE compiled ``finditer`` pass; match
-positions are mapped back to row indices with ``np.searchsorted``. This keeps
-per-batch Python overhead O(#matches), not O(#rows).
-
-The cross-turn anaphora rule is *not* handled here (stateless stage) — see
-``stages.anaphora`` which runs on the much smaller event stream.
+Implementation (hot path): no Python per row or per match. Mentions are
+extracted with iterated ``pyarrow.compute.extract_regex`` — pass *k* pulls
+each turn's *k*-th leftmost mention, then strips it with
+``replace_substring_regex(max_replacements=1)``; the loop ends when a pass
+matches nothing (≤ ``MAX_MENTIONS`` passes). Everything is RE2 + Arrow
+kernels in C++.
 """
 
 from __future__ import annotations
@@ -33,13 +34,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# mention + relation grammar (see synth.py docstring; single spaces by
-# construction of the generator — the oracle SQL uses the same patterns)
 MENTION_RE = re.compile(r"\[\[([^\]]+)\]\]")
-RELATION_RE = re.compile(
-    r"\[\[([^\]]+)\]\] (includes|depends on|is replaced by|documents|aka) "
-    r"\[\[([^\]]+)\]\]"
-)
+_MENTION_PAT = r"\[\[(?P<alias>[^\]]+)\]\]"
+_MENTION_STRIP = r"\[\[[^\]]+\]\]"
+_REL_PAT = (r"\[\[(?P<a>[^\]]+)\]\] "
+            r"(?P<relword>includes|depends on|is replaced by|documents|aka) "
+            r"\[\[(?P<b>[^\]]+)\]\]")
 RELWORD_TO_PRED = {
     "includes": "hasComponent",       # cf. build_bom_triples, ref :920-925
     "depends on": "dependsOn",        # cf. DEPENDS_ON self-join, ref importer
@@ -47,6 +47,11 @@ RELWORD_TO_PRED = {
     "documents": "describes",         # cf. build_describe_triples, ref :955-960
     "aka": "sameAs",                  # canonicalization input (union-find merge)
 }
+_RELWORDS = pa.array(list(RELWORD_TO_PRED))
+_RELPREDS = pa.array(list(RELWORD_TO_PRED.values()))
+
+MAX_MENTIONS = 8  # passes; turns with more mentions are truncated (log-free
+# bound documented in SURVEY parity: generator emits ≤3)
 
 EVENT_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
@@ -58,88 +63,86 @@ EVENT_SCHEMA = pa.schema([
     ("pred", pa.string()),
 ])
 
-SEP = "\x00"
 
-
-def _scan(texts: list[str], pattern: re.Pattern):
-    """One-pass regex scan over a batch: returns (row_idx, match) arrays."""
-    blob = SEP.join(texts)
-    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
-    np.cumsum(lens + 1, out=offsets[1:])
-    matches = list(pattern.finditer(blob))
-    if not matches:
-        return np.empty(0, dtype=np.int64), []
-    starts = np.fromiter((m.start() for m in matches), dtype=np.int64,
-                         count=len(matches))
-    rows = np.searchsorted(offsets, starts, side="right") - 1
-    return rows, matches
+def _events_table(conv, tidx, ordi: int, kind: str, a, b=None, pred=None):
+    n = len(conv)
+    return pa.table({
+        "conv_id": conv,
+        "turn_idx": tidx,
+        "ord": pa.array(np.full(n, ordi, dtype=np.int32)),
+        "kind": pa.array(np.full(n, kind, dtype=object), pa.string()),
+        "a": a,
+        "b": b if b is not None else pa.nulls(n, pa.string()),
+        "pred": pred if pred is not None else pa.nulls(n, pa.string()),
+    }).cast(EVENT_SCHEMA)
 
 
 def extract_events(batch: pa.Table) -> pa.Table:
     """Arrow batch of turns → Arrow batch of extraction events."""
-    texts = batch["text"].to_pylist()
-    conv = batch["conv_id"]
-    tidx = batch["turn_idx"]
-    n = len(texts)
-    texts = ["" if t is None else t for t in texts]
+    batch = batch.combine_chunks()
+    text = pc.fill_null(batch["text"], "")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    conv = batch["conv_id"].combine_chunks() \
+        if isinstance(batch["conv_id"], pa.ChunkedArray) else batch["conv_id"]
+    tidx = batch["turn_idx"].combine_chunks() \
+        if isinstance(batch["turn_idx"], pa.ChunkedArray) else batch["turn_idx"]
+    parts: list[pa.Table] = []
 
-    out_row: list[int] = []
-    out_ord: list[int] = []
-    out_kind: list[str] = []
-    out_a: list[str | None] = []
-    out_b: list[str | None] = []
-    out_pred: list[str | None] = []
+    # mentions — ONE split on the opening delimiter, then numpy offset math:
+    # every "[["-prefixed segment starts with an alias terminated by "]]"
+    pieces = pc.split_pattern(text, "[[")
+    if isinstance(pieces, pa.ChunkedArray):
+        pieces = pieces.combine_chunks()
+    counts = pc.list_value_length(pieces).to_numpy()
+    if counts.sum() > len(counts):  # any mention at all
+        flat = pc.list_flatten(pieces)
+        row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        elem_idx = np.arange(len(flat), dtype=np.int64) - starts[row_idx]
+        keep = elem_idx >= 1  # segment 0 is the text before the first "[["
+        tails = flat.filter(pa.array(keep))
+        seg = pc.split_pattern(tails, "]]", max_splits=1)
+        closed = pc.greater(pc.list_value_length(seg), 1)  # had a "]]"
+        alias = pc.list_element(seg.filter(closed), 0)
+        kept_rows = row_idx[keep][np.asarray(closed)]
+        kept_ord = (elem_idx[keep] - 1)[np.asarray(closed)]
+        ridx = pa.array(kept_rows)
+        n = len(alias)
+        parts.append(pa.table({
+            "conv_id": conv.take(ridx),
+            "turn_idx": tidx.take(ridx),
+            "ord": pa.array(kept_ord.astype(np.int32)),
+            "kind": pa.array(np.full(n, "m", dtype=object), pa.string()),
+            "a": alias,
+            "b": pa.nulls(n, pa.string()),
+            "pred": pa.nulls(n, pa.string()),
+        }).cast(EVENT_SCHEMA))
 
-    # mentions — position order within each row gives `ord`
-    m_rows, m_matches = _scan(texts, MENTION_RE)
-    prev_row, ordi = -1, 0
-    for r, m in zip(m_rows.tolist(), m_matches):
-        ordi = ordi + 1 if r == prev_row else 0
-        prev_row = r
-        out_row.append(r)
-        out_ord.append(ordi)
-        out_kind.append("m")
-        out_a.append(m.group(1))
-        out_b.append(None)
-        out_pred.append(None)
-
-    # relations — ≤1 per turn by the generator's grammar, but the scan is
-    # generic: every non-overlapping occurrence becomes an event
-    r_rows, r_matches = _scan(texts, RELATION_RE)
-    for r, m in zip(r_rows.tolist(), r_matches):
-        out_row.append(r)
-        out_ord.append(0)
-        out_kind.append("r")
-        out_a.append(m.group(1))
-        out_b.append(m.group(3))
-        out_pred.append(RELWORD_TO_PRED[m.group(2)])
+    # relations — first relation clause per turn
+    rel = pc.extract_regex(text, _REL_PAT)
+    rvalid = pc.is_valid(rel)
+    if pc.any(rvalid).as_py():
+        sub = batch.filter(rvalid)
+        r = rel.filter(rvalid)
+        relword = pc.struct_field(r, "relword")
+        pred = pc.take(_RELPREDS, pc.index_in(relword, _RELWORDS))
+        parts.append(_events_table(
+            sub["conv_id"], sub["turn_idx"], 0, "r",
+            pc.struct_field(r, "a"), pc.struct_field(r, "b"), pred))
 
     # tool turns
-    tool_col = batch["tool"]
-    valid = pc.is_valid(tool_col)
-    t_rows = np.flatnonzero(np.asarray(valid))
-    tools = tool_col.to_pylist()
-    for r in t_rows.tolist():
-        out_row.append(r)
-        out_ord.append(0)
-        out_kind.append("t")
-        out_a.append(tools[r])
-        out_b.append(None)
-        out_pred.append("usedTool")
+    tvalid = pc.is_valid(batch["tool"])
+    if pc.any(tvalid).as_py():
+        sub = batch.filter(tvalid)
+        n_t = len(sub)
+        parts.append(_events_table(
+            sub["conv_id"], sub["turn_idx"], 0, "t", sub["tool"],
+            pred=pa.array(np.full(n_t, "usedTool", dtype=object), pa.string())))
 
-    idx = pa.array(out_row, pa.int64())
-    return pa.table({
-        "conv_id": pc.take(conv, idx).combine_chunks()
-        if isinstance(conv, pa.ChunkedArray) else conv.take(idx),
-        "turn_idx": pc.take(tidx, idx).combine_chunks()
-        if isinstance(tidx, pa.ChunkedArray) else tidx.take(idx),
-        "ord": pa.array(out_ord, pa.int32()),
-        "kind": pa.array(out_kind, pa.string()),
-        "a": pa.array(out_a, pa.string()),
-        "b": pa.array(out_b, pa.string()),
-        "pred": pa.array(out_pred, pa.string()),
-    }).cast(EVENT_SCHEMA)
+    if not parts:
+        return EVENT_SCHEMA.empty_table()
+    return pa.concat_tables(parts).combine_chunks()
 
 
 def topic_turns(batch: pa.Table, topics: list[str]) -> pa.Table:

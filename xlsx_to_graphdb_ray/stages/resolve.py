@@ -24,29 +24,54 @@ hash join. Lookups per batch are vectorized pandas ``.map`` calls.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray
 
 STATUSES = ("resolved", "ambiguous", "unknown")
 
 
-def _resolve_series(alias: pd.Series, name_to_ids: dict, id_map: dict):
-    """Vectorized resolve of an alias series → (entity_id, status, n_cand)."""
-    from ..functions.normalize import norm_key
+_FLOAT_INT_PAT = r"^([0-9]+)\.0+$"
 
-    n = alias.map(norm_key, na_action="ignore").fillna("")
-    cand = n.map(name_to_ids)
-    n_cand = cand.map(lambda x: len(x) if isinstance(x, list) else 0)
-    eid = pd.Series([None] * len(alias), index=alias.index, dtype=object)
-    one = n_cand == 1
-    eid[one] = cand[one].map(lambda x: x[0])
+
+def _norm_series(alias: pd.Series) -> pd.Series:
+    """Vectorized ``norm_key`` (same spec as functions.normalize.norm_key:
+    trim → lower → collapse trailing .0+ on pure-numeric strings)."""
+    return (alias.fillna("").astype(str).str.strip().str.lower()
+            .str.replace(_FLOAT_INT_PAT, r"\1", regex=True))
+
+
+def _resolve_series(alias: pd.Series, name_to_ids: dict, id_map: dict,
+                    _aux_cache: dict = {}):
+    """Vectorized resolve of an alias series → (entity_id, status, n_cand).
+
+    ``name_to_ids`` is split (cached per dict identity) into a count map and
+    a singleton map so every lookup is a C-level ``Series.map`` — no Python
+    per-row calls.
+    """
+    aux = _aux_cache.get(id(name_to_ids))
+    if aux is None:
+        count_map = {k: len(v) for k, v in name_to_ids.items()}
+        single_map = {k: v[0] for k, v in name_to_ids.items() if len(v) == 1}
+        aux = (count_map, single_map)
+        _aux_cache.clear()
+        _aux_cache[id(name_to_ids)] = aux
+    count_map, single_map = aux
+
+    n = _norm_series(alias)
+    n_cand = n.map(count_map).fillna(0).astype("int64")
+    eid = n.map(single_map)
     # number-fallback only where the name index had NO candidates
-    fb = (n_cand == 0) & n.isin(id_map)
-    eid[fb] = n[fb].map(id_map)
-    status = pd.Series("unknown", index=alias.index, dtype=object)
-    status[n_cand > 1] = "ambiguous"
-    status[one | fb] = "resolved"
-    return eid, status, n_cand
+    fb_candidates = n.where(n_cand == 0).map(id_map)
+    fb = fb_candidates.notna()
+    eid = eid.where(eid.notna(), fb_candidates)
+    eid = eid.where(eid.notna(), None)
+    one = n_cand == 1
+    status = pd.Series(
+        np.select([n_cand > 1, one | fb], ["ambiguous", "resolved"],
+                  default="unknown"),
+        index=alias.index, dtype=object)
+    return eid, status, n_cand.astype("int32")
 
 
 class Resolver:
@@ -86,16 +111,35 @@ class Resolver:
         return batch
 
 
-def resolve_events(events_ds, lookup_dicts, *, concurrency=(2, 8),
-                   batch_size: int = 32768):
-    """Attach resolution columns to the event stream via the actor pool."""
+def _resolve_batch(batch: pd.DataFrame, *, dict_ref) -> pd.DataFrame:
+    """Task-mode resolve: rehydrate the broadcast dicts from the local object
+    store (zero-copy fetch + per-task deserialize, amortized by worker-process
+    reuse — avoids per-execution actor-pool startup)."""
+    global _RESOLVER_CACHE
+    try:
+        cached_key, resolver = _RESOLVER_CACHE
+    except NameError:
+        cached_key = resolver = None
+    key = dict_ref.hex() if isinstance(dict_ref, ray.ObjectRef) else id(dict_ref)
+    if cached_key != key:
+        resolver = Resolver(dict_ref)
+        _RESOLVER_CACHE = (key, resolver)
+    return resolver(batch)
+
+
+def resolve_events(events_ds, lookup_dicts, *, batch_size: int = 65536):
+    """Attach resolution columns via stateless tasks + broadcast dictionary.
+
+    Tasks (not an actor pool) so warm Ray worker processes are reused across
+    executions; the dictionary is ``ray.put`` once and each worker re-reads
+    it from the local object store, cached per-process via module state.
+    """
     ref = ray.put(lookup_dicts)
     return events_ds.map_batches(
-        Resolver,
-        fn_constructor_kwargs={"dict_ref": ref},
+        _resolve_batch,
+        fn_kwargs={"dict_ref": ref},
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 

@@ -1,0 +1,119 @@
+"""Bucketed grouped aggregation — the engine's workhorse shuffle primitive.
+
+A bare ``ds.groupby(wide_string_keys).aggregate(...)`` hash-shuffles every
+row on the raw key columns; Ray's shuffle operators are expensive for
+high-cardinality string keys. This module implements the classic two-phase
+plan instead (partial/combiner before the exchange — SURVEY.md §4 and the
+Ray guide's "Aggregation at scale"), with the per-block work done by
+**Arrow's C++ hash aggregation** (``pa.Table.group_by``), not Python:
+
+1. **pre-combine** inside ``map_batches``: per-block ``group_by`` collapses
+   each key to ONE partial row per block (hot keys cost O(blocks), not
+   O(occurrences) — this is the skew absorber),
+2. then either
+   - ``small_result=True`` (key cardinality fits one worker — entity
+     dimensions, predicate counts, status counts): coalesce the partials
+     with ``repartition(1)`` — **no all-to-all exchange at all** — and
+     final-combine in one C++ group_by; or
+   - big results (exact dedup): attach ``bucket = stable_hash(keys) % B``
+     (int32) to the partials and exchange on the *narrow int column* via
+     ``groupby("bucket")``, final-combining per bucket.
+
+All aggregate fns are algebraic (min/max/sum/count → sum), so partials
+merge exactly. ``B`` bounds per-task memory: one bucket's distinct keys
+must fit in a worker heap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas.util
+import pyarrow as pa
+
+DEFAULT_BUCKETS = 64
+
+# fn → (pre-combine arrow agg, final-combine arrow agg)
+_ALGEBRAIC = {"min": ("min", "min"), "max": ("max", "max"),
+              "sum": ("sum", "sum"), "count": ("count_all", "sum")}
+
+
+def _group(table: pa.Table, keys: list[str],
+           aggs: list[tuple[str, str | None, str]], phase: int) -> pa.Table:
+    """One C++ hash-aggregation pass; renames agg outputs to ``out`` names."""
+    specs, renames = [], {}
+    for out, src, fn in aggs:
+        arrow_fn = _ALGEBRAIC[fn][phase]
+        if phase == 0 and fn == "count":
+            specs.append(([], "count_all"))
+            renames["count_all"] = out
+        else:
+            col = src if phase == 0 else out
+            specs.append((col, arrow_fn))
+            renames[f"{col}_{arrow_fn}"] = out
+    g = table.group_by(keys, use_threads=False).aggregate(specs)
+    return g.rename_columns([renames.get(c, c) for c in g.column_names])
+
+
+def _bucket_col(table: pa.Table, keys: list[str], n: int) -> pa.Array:
+    h = None
+    for k in keys:
+        s = table[k].to_pandas().astype(str)
+        hk = pandas.util.hash_pandas_object(s, index=False).to_numpy()
+        h = hk if h is None else (h * np.uint64(1000003)) ^ hk
+    return pa.array((h % n).astype("int32"))
+
+
+def grouped_agg(ds, keys: list[str], aggs: list[tuple[str, str | None, str]],
+                n_buckets: int = DEFAULT_BUCKETS, small_result: bool = False):
+    """Grouped aggregation with partial pre-combine.
+
+    ``aggs``: list of ``(out_col, src_col, fn)``; ``fn`` ∈ min/max/sum/count
+    (src_col ignored for count). Returns a Dataset with ``keys + out_cols``.
+    """
+    for out, _, fn in aggs:
+        if fn not in _ALGEBRAIC:
+            raise ValueError(f"non-algebraic aggregate: {fn}")
+
+    def pre(batch: pa.Table) -> pa.Table:
+        part = _group(batch, keys, aggs, 0)
+        if not small_result:
+            part = part.append_column("__bucket",
+                                      _bucket_col(part, keys, n_buckets))
+        return part
+
+    def final(batch: pa.Table) -> pa.Table:
+        if "__bucket" in batch.column_names:
+            batch = batch.drop_columns(["__bucket"])
+        return _group(batch, keys, aggs, 1)
+
+    partials = ds.map_batches(pre, batch_format="pyarrow")
+    if small_result:
+        return partials.repartition(1).map_batches(
+            final, batch_format="pyarrow")
+    return partials.groupby("__bucket").map_groups(
+        final, batch_format="pyarrow")
+
+
+def grouped_distinct(ds, keys: list[str], n_buckets: int = DEFAULT_BUCKETS,
+                     small_result: bool = False):
+    """Distinct key combinations (exact dedup, D1/D3 analogue)."""
+
+    def pre(batch: pa.Table) -> pa.Table:
+        part = batch.select(keys).group_by(
+            keys, use_threads=False).aggregate([])
+        if not small_result:
+            part = part.append_column("__bucket",
+                                      _bucket_col(part, keys, n_buckets))
+        return part
+
+    def final(batch: pa.Table) -> pa.Table:
+        if "__bucket" in batch.column_names:
+            batch = batch.drop_columns(["__bucket"])
+        return batch.group_by(keys, use_threads=False).aggregate([])
+
+    partials = ds.map_batches(pre, batch_format="pyarrow")
+    if small_result:
+        return partials.repartition(1).map_batches(
+            final, batch_format="pyarrow")
+    return partials.groupby("__bucket").map_groups(
+        final, batch_format="pyarrow")

@@ -28,9 +28,9 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
-from ray.data.aggregate import Min
 
 from ..functions.normalize import ONT, RDF_TYPE, RDFS_LABEL
+from .shuffle import grouped_agg
 
 TRIPLE_COLS = ["subj", "pred", "obj", "obj_lit", "prov"]
 
@@ -134,15 +134,11 @@ def closure_triples_batch(batch: pd.DataFrame) -> pd.DataFrame:
     )[TRIPLE_COLS]
 
 
-def _precombine(batch: pd.DataFrame) -> pd.DataFrame:
-    """In-batch partial dedup: one (subj,pred,obj) row per block, min prov."""
-    return (batch.groupby(["subj", "pred", "obj"], as_index=False, sort=False)
-            .agg(obj_lit=("obj_lit", "first"), prov=("prov", "min")))
-
-
 def dedup_first_wins(triples_ds):
-    """Global first-wins dedup on (subj, pred, obj), min provenance."""
-    pre = triples_ds.map_batches(_precombine, batch_format="pandas")
-    agg = pre.groupby(["subj", "pred", "obj"]).aggregate(
-        Min("prov", alias_name="prov"))
-    return agg
+    """Global first-wins dedup on (subj, pred, obj), min provenance.
+
+    Uses the bucketed two-phase aggregate (stages/shuffle.py): partials
+    collapse hot triples to one row per block before the exchange.
+    """
+    return grouped_agg(triples_ds, ["subj", "pred", "obj"],
+                       [("prov", "prov", "min")])

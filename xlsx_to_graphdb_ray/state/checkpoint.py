@@ -69,4 +69,16 @@ def checkpoint_dataset(make_ds, ckpt_dir: str, fingerprint: str,
         os.replace(tmp, ckpt_dir)
     files = [os.path.join(ckpt_dir, p) for p in sorted(os.listdir(ckpt_dir))
              if p.endswith(".parquet")]
-    return ray.data.read_parquet(files)
+    return ray.data.read_parquet(files, override_num_blocks=default_blocks())
+
+
+def default_blocks() -> int:
+    """Target block count ≈ 2×CPUs: enough for balance, few enough that
+    per-task dispatch latency doesn't dominate sub-second UDFs."""
+    try:
+        import ray
+        if ray.is_initialized():
+            return max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        pass
+    return 16

@@ -201,38 +201,68 @@ def make_turns(sf: float) -> pa.Table:
 
     anaphor = (m == 1) & (((h >> np.uint64(45)) % np.uint64(6)) == 0)
 
-    texts: list[str] = []
-    tools: list[str | None] = []
-    hi = h.astype(object)  # python ints for _alias ghosts
-    for j in range(len(conv)):
-        mj, rj = int(m[j]), int(rel[j])
-        if anaphor[j]:
-            aliases = ["that one"]
-        else:
-            aliases = [_alias(int(ent[i, j]), int(var[i, j]), int(hi[j]))
-                       for i in range(mj)]
-        if rj < 5 and mj >= 2:
-            core = f"[[{aliases[0]}]] {RELWORDS[rj]} [[{aliases[1]}]]"
-            if mj == 3:
-                core += f" with [[{aliases[2]}]]"
-        elif mj > 0:
-            core = " and ".join(f"[[{a}]]" for a in aliases)
-        else:
-            core = "status update"
-        role = ROLES[int(role_idx[j])]
-        parts = [PREFIX[role], core]
-        if has_topic[j]:
-            parts.append(TOPICS[int(topic_idx[j])])
-        texts.append(" ".join(parts))
-        tools.append(TOOLS[int(tool_pick[j])] if role == "tool" else None)
+    # --- fully vectorized text assembly (object-dtype numpy string algebra;
+    # semantics identical to the per-row reference formulation in _alias) ---
+    names = np.array([entity_name(i) for i in range(n_ent)], dtype=object)
+    is_digit = np.array([nm.isdigit() for nm in names])
+    ghost = np.char.add("ghost item ",
+                        (h % np.uint64(997)).astype(np.int64).astype(str)
+                        ).astype(object)
+
+    def alias_col(i: int) -> np.ndarray:
+        e, v = ent[i], var[i]
+        nm = names[e]
+        out = nm.copy()
+        up = (v >= 8) & (v < 11)
+        out[up] = [s.upper() for s in nm[up]]
+        pad = (v >= 11) & (v < 13)
+        out[pad] = " " + nm[pad] + " "
+        idv = (v >= 13) & (v < 16)
+        out[idv] = np.char.add(
+            "P", np.char.zfill(e[idv].astype(str), 7)).astype(object)
+        flt = (v >= 16) & (v < 18) & is_digit[e]
+        out[flt] = nm[flt] + ".0"
+        gh = v >= 18
+        out[gh] = ghost[gh]
+        return out
+
+    a0, a1, a2 = alias_col(0), alias_col(1), alias_col(2)
+    a0[anaphor] = "that one"
+    b0 = "[[" + a0 + "]]"
+    b1 = "[[" + a1 + "]]"
+    b2 = "[[" + a2 + "]]"
+
+    relword = np.array(RELWORDS, dtype=object)[np.clip(rel, 0, 4)]
+    core = np.full(len(conv), "status update", dtype=object)
+    m1 = m == 1
+    core[m1] = b0[m1]
+    m2 = (m == 2) & (rel == 5)
+    core[m2] = b0[m2] + " and " + b1[m2]
+    m3 = (m == 3) & (rel == 5)
+    core[m3] = b0[m3] + " and " + b1[m3] + " and " + b2[m3]
+    r2 = (rel < 5) & (m == 2)
+    core[r2] = b0[r2] + " " + relword[r2] + " " + b1[r2]
+    r3 = (rel < 5) & (m == 3)
+    core[r3] = b0[r3] + " " + relword[r3] + " " + b1[r3] + " with " + b2[r3]
+
+    roles = np.array(ROLES, dtype=object)[role_idx]
+    prefix = np.array([PREFIX[r] for r in ROLES], dtype=object)[role_idx]
+    text = prefix + " " + core
+    topic = np.array(TOPICS, dtype=object)[topic_idx]
+    text[has_topic] = text[has_topic] + " " + topic[has_topic]
+
+    tools = np.array(TOOLS, dtype=object)[tool_pick]
+    tools = np.where(roles == "tool", tools, None)
+
+    conv_ids = np.char.add("c", np.char.zfill(conv.astype(str), 8))
 
     ts = TS_BASE_US + conv * 600_000_000 + turn * 7_000_000
     return pa.table({
-        "conv_id": pa.array([f"c{int(c):08d}" for c in conv], pa.string()),
+        "conv_id": pa.array(conv_ids, pa.string()),
         "turn_idx": pa.array(turn.astype(np.int32)),
-        "role": pa.array([ROLES[int(r)] for r in role_idx], pa.string()),
-        "text": pa.array(texts, pa.string()),
-        "tool": pa.array(tools, pa.string()),
+        "role": pa.array(roles, pa.string()),
+        "text": pa.array(text, pa.string()),
+        "tool": pa.array(tools.tolist(), pa.string()),
         "ts": pa.array(ts).cast(pa.timestamp("us")),
     })
 
