@@ -11,46 +11,62 @@ import duckdb
 import pandas as pd
 import pytest
 
-from xlsx_to_graphdb_ray.pipelines import queries as q
+import __ray_entry__ as entrymod
 from xlsx_to_graphdb_ray.pipelines.oracles import kg_oracles
+from xlsx_to_graphdb_ray.pipelines.oracles_shared import shared_oracles
 
 SF_DIR = "/root/testdata/sf0.001"
 
-QUERIES = {
-    "kg_mentions": q.kg_mentions,
-    "kg_resolution_status": q.kg_resolution_status,
-    "kg_sameas_canon": q.kg_sameas_canon,
-    "kg_first_mention": q.kg_first_mention,
-    "kg_closure": q.kg_closure,
-    "kg_triples": q.kg_triples,
-    "kg_pred_counts": q.kg_pred_counts,
-    "kg_topic_turns": q.kg_topic_turns,
-    "kg_tool_usage": q.kg_tool_usage,
-}
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
+        if pd.api.types.is_float_dtype(df[c]) or \
+                pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64").round(6)
+        else:
             df[c] = df[c].astype(str)
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns), kind="mergesort") \
         .reset_index(drop=True)
 
 
 @pytest.fixture(scope="module")
 def oracles():
-    return kg_oracles(SF_DIR)
+    out = kg_oracles(SF_DIR)
+    out.update(shared_oracles(SF_DIR))
+    return out
 
 
-@pytest.mark.parametrize("name", list(QUERIES))
-def test_query_matches_oracle(ray_session, oracles, name):
-    res = QUERIES[name](SF_DIR)
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+              f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+ALL_QUERIES = entrymod.queries()
+ORACLED = [n for n in ALL_QUERIES if n not in
+           ("docs_simhash", "vecs_near_dup_lsh")]
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(ray_session, oracles, con, name):
+    res = ALL_QUERIES[name](SF_DIR)
     ray_df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
-    ora_df = duckdb.sql(oracles[name]).df()
+    ora_df = con.sql(oracles[name]).df()
     a, b = normalize(ray_df), normalize(ora_df)
     assert list(a.columns) == list(b.columns), (a.columns, b.columns)
     assert len(a) == len(b), f"{name}: rows {len(a)} vs oracle {len(b)}"
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.parametrize("name", ["docs_simhash", "vecs_near_dup_lsh"])
+def test_rows_only_queries_run(ray_session, name):
+    res = ALL_QUERIES[name](SF_DIR)
+    df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+    assert len(df) > 0

@@ -1,0 +1,120 @@
+"""Reference-parity golden-count tests for the tabular import path.
+
+Mirrors the reference's own suite (tests/unit/test_spreadsheet_loader.py):
+duplicated-header promotion (:15-32), dry-run counts 6/7 (:81-93),
+name-based BOM (:104-109), generate-then-import round trip (:111-136),
+ambiguous + strict raise (:164-184), reversed column order (:186-208),
+plus the hierarchical level-stack parse (:1160-1182).
+"""
+
+import pandas as pd
+import pytest
+
+from xlsx_to_graphdb_ray.pipelines import tabular_kg as tk
+from xlsx_to_graphdb_ray.sources import tabular as tab
+
+
+def _sheet():
+    # duplicated header row inside the data, numeric part numbers
+    return pd.DataFrame({0: ["Number", 111, 222],
+                         1: ["Name", "Frame", "Ski"]}) \
+        .rename(columns={0: "Number", 1: "Name"})
+
+
+def test_duplicated_header_promotion():
+    df = tab.promote_duplicated_header(_sheet())
+    assert df["Number"].tolist() == [111, 222]
+
+
+def test_parse_parts_normalizes_numbers():
+    out = tab.parse_parts_sheet(_sheet(), "MechanicalPart-Sheet")
+    assert out["number"].tolist() == ["111", "222"]
+    assert out["part_type"].tolist() == ["MechanicalPart"] * 2
+
+
+def test_two_parts_six_triples(ray_session):
+    ds, stats = tk.import_tabular({"Sheet1": _sheet()})
+    assert stats["n_triples"] == 6  # 2 parts × (rdf:type, ont:name, label)
+    assert ds.count() == 6
+
+
+def test_bom_adds_one_triple(ray_session):
+    bom = pd.DataFrame({"Number": [111], "Component Id": [222]})
+    ds, stats = tk.import_tabular({"Sheet1": _sheet()}, bom)
+    assert stats["n_triples"] == 7
+    df = ds.to_pandas()
+    comp = df[df["pred"].str.endswith("hasComponent")]
+    assert comp["subj"].tolist() == ["urn:part:111"]
+    assert comp["obj"].tolist() == ["urn:part:222"]
+
+
+def test_bom_by_name(ray_session):
+    bom = pd.DataFrame({"Parent Name": ["Frame"], "Child Name": ["Ski"]})
+    _, stats = tk.import_tabular({"Sheet1": _sheet()}, bom, bom_by_name=True)
+    assert stats["n_triples"] == 7
+
+
+def test_bom_by_name_reversed_columns(ray_session):
+    bom = pd.DataFrame({"Child Name": ["Ski"], "Parent Name": ["Frame"]})
+    _, stats = tk.import_tabular({"Sheet1": _sheet()}, bom, bom_by_name=True)
+    assert stats["n_edges"] == 1
+
+
+def test_generate_bom_by_name_round_trip(ray_session):
+    parts = tk.build_part_table({"Sheet1": _sheet()})
+    gen = tk.generate_bom_by_name(parts, [("111", "222")])
+    assert gen.iloc[0].tolist() == ["Frame", "Ski"]
+    _, stats = tk.import_tabular({"Sheet1": _sheet()}, gen, bom_by_name=True)
+    assert stats["n_triples"] == 7
+
+
+def test_ambiguous_name_strict_raises(ray_session):
+    sheet = pd.DataFrame({"Number": [1, 2], "Name": ["Dup", "Dup"]})
+    bom = pd.DataFrame({"Parent Name": ["Dup"], "Child Name": ["Dup"]})
+    with pytest.raises(RuntimeError, match="Ambiguous"):
+        tk.import_tabular({"S": sheet}, bom, bom_by_name=True,
+                          strict_names=True)
+    # non-strict: skipped, recorded in the resolution report (J2)
+    _, stats = tk.import_tabular({"S": sheet}, bom, bom_by_name=True)
+    assert stats["n_edges"] == 0
+    assert stats["resolution_report"] == [("Dup", "Dup", "ambiguous")]
+
+
+def test_number_fallback_resolution():
+    resolved, report = tk.resolve_edges_by_name(
+        [("111", "Ski")], {"Ski": ["222"]}, {"111", "222"})
+    assert resolved == [("111", "222")]
+
+
+def test_hierarchical_level_stack():
+    # depth 3, shared subtree, level jump down by >1 (FIXTURES.md §2.2)
+    bom = pd.DataFrame({
+        "Number": ["A", "B", "C", "D", "B2", "C"],
+        "Level": [0, 1, 2, 3, 1, 2],
+    })
+    edges = tab.parse_hierarchical_bom(bom)
+    assert edges == [("A", "B"), ("B", "C"), ("C", "D"),
+                     ("A", "B2"), ("B2", "C")]
+
+
+def test_derived_edges_opt_in(ray_session):
+    bom = pd.DataFrame({"Number": [111], "Component Id": [222]})
+    ds, stats = tk.import_tabular({"Sheet1": _sheet()}, bom,
+                                  include_derived=True)
+    df = ds.to_pandas()
+    assert (df["pred"].str.endswith("usedIn")).sum() == 1
+    assert (df["pred"].str.endswith("partOfAssembly")).sum() == 1
+    assert stats["n_triples"] == 9
+
+
+def test_last_wins_across_sheets():
+    s1 = pd.DataFrame({"Number": [111], "Name": ["Old"]})
+    s2 = pd.DataFrame({"Number": [111], "Name": ["New"]})
+    parts = tk.build_part_table({"A": s1, "B": s2})
+    assert parts["name"].tolist() == ["New"]
+
+
+def test_uri_quoting(ray_session):
+    sheet = pd.DataFrame({"Number": ["100 SNOW"], "Name": ["Root"]})
+    ds, _ = tk.import_tabular({"S": sheet})
+    assert ds.to_pandas()["subj"].iloc[0] == "urn:part:100%20SNOW"

@@ -1,0 +1,254 @@
+"""DuckDB oracles for the relational / stream / dedup / text / ANN queries.
+
+The driver pre-registers the shared testdata tables as views (region nation
+customer supplier part orders lineitem events documents embeddings);
+synthetic corpora are referenced by ``read_parquet`` path.
+"""
+
+from __future__ import annotations
+
+from .. import synth
+from ..stages.dedup_docs import JACCARD_T
+from ..stages.textstats import LANG_MARKERS, STOPWORDS
+from .training import ANN_QUERY_IDS
+
+
+def relational_oracles() -> dict[str, str]:
+    return {
+        "rel_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "rel_top_parts": """
+            SELECT l_partkey, count(*) AS n FROM lineitem
+            GROUP BY l_partkey ORDER BY n DESC, l_partkey LIMIT 10""",
+        "rel_parts_having": """
+            SELECT l_partkey, count(*) AS n FROM lineitem
+            GROUP BY l_partkey HAVING count(*) > 40""",
+        "rel_brand_revenue": """
+            SELECT p.p_brand,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY p.p_brand""",
+        "rel_top_customers": """
+            SELECT o.o_custkey, round(sum(o.o_totalprice), 2) AS total,
+                   count(*) AS n_orders, any_value(c.c_name) AS c_name
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY o.o_custkey
+            ORDER BY total DESC, o.o_custkey LIMIT 10""",
+        "rel_distinct_nations": """
+            SELECT DISTINCT nationkey FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              UNION ALL SELECT s_nationkey FROM supplier)""",
+        "rel_region_order_stats": """
+            SELECT r.r_name, round(sum(o.o_totalprice), 2) AS total,
+                   count(*) AS n
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name""",
+    }
+
+
+def stream_oracles() -> dict[str, str]:
+    return {
+        "events_tumbling": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "events_sessionize": """
+            WITH ordered AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events),
+            flagged AS (
+              SELECT *, CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+              FROM ordered),
+            numbered AS (
+              SELECT user_id, event_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) - 1
+                         AS session_idx
+              FROM flagged)
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts
+            FROM numbered GROUP BY user_id, session_idx""",
+        "events_next_purchase": """
+            SELECT v.event_id, v.user_id,
+                   coalesce((SELECT p.event_id FROM events p
+                             WHERE p.user_id = v.user_id
+                               AND p.event_type = 'purchase' AND p.ts > v.ts
+                             ORDER BY p.ts, p.event_id LIMIT 1), -1)
+                       AS next_event_id
+            FROM events v WHERE v.event_type = 'view'""",
+    }
+
+
+def _doc_shingle_cte(docs_path: str) -> str:
+    return f"""
+docs AS (SELECT doc_id, string_split(text, ' ') AS toks
+         FROM read_parquet('{docs_path}')),
+sh AS (SELECT doc_id, list_distinct(
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    for i in range(1, len(toks) - 1)] END) AS shingles
+       FROM docs),
+exploded AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+ns AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id)"""
+
+
+def dedup_oracles(sf_dir: str) -> dict[str, str]:
+    p = synth.ensure_synth(sf_dir)
+    shingle_cte = _doc_shingle_cte(p["docs"])
+    return {
+        "docs_exact_dedup": f"""
+            SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM read_parquet('{p["docs"]}') GROUP BY md5(text)""",
+        "docs_minhash_pairs": f"""
+            WITH {shingle_cte},
+            minh AS (
+              SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || s)) AS mh
+              FROM exploded CROSS JOIN range(16) AS t(i)
+              GROUP BY doc_id, i),
+            bands AS (
+              SELECT doc_id, CAST(i // 4 AS BIGINT) AS band,
+                     string_agg(mh, '|' ORDER BY i) AS sigpart
+              FROM minh GROUP BY doc_id, i // 4),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.sigpart = b.sigpart
+               AND a.doc_id < b.doc_id),
+            shared AS (
+              SELECT c.da, c.db, count(*) AS sh_n
+              FROM cand c
+              JOIN exploded ea ON ea.doc_id = c.da
+              JOIN exploded eb ON eb.doc_id = c.db AND eb.s = ea.s
+              GROUP BY c.da, c.db)
+            SELECT s.da AS doc_a, s.db AS doc_b,
+                   round(s.sh_n * 1.0 / (na.n + nb.n - s.sh_n), 6) AS jaccard
+            FROM shared s
+            JOIN ns na ON na.doc_id = s.da
+            JOIN ns nb ON nb.doc_id = s.db
+            WHERE s.sh_n * 1.0 / (na.n + nb.n - s.sh_n) >= {JACCARD_T}""",
+        "docs_ngram_pairs": f"""
+            WITH {shingle_cte},
+            freq AS (SELECT s, count(*) AS df FROM exploded GROUP BY s
+                     HAVING count(*) BETWEEN 2 AND 50),
+            co AS (
+              SELECT ea.doc_id AS doc_a, eb.doc_id AS doc_b,
+                     count(*) AS sh_n
+              FROM exploded ea
+              JOIN freq f ON f.s = ea.s
+              JOIN exploded eb ON eb.s = ea.s AND ea.doc_id < eb.doc_id
+              GROUP BY ea.doc_id, eb.doc_id)
+            SELECT co.doc_a, co.doc_b,
+                   round(co.sh_n * 1.0 / (na.n + nb.n - co.sh_n), 6)
+                       AS jaccard
+            FROM co
+            JOIN ns na ON na.doc_id = co.doc_a
+            JOIN ns nb ON nb.doc_id = co.doc_b
+            WHERE co.sh_n * 1.0 / (na.n + nb.n - co.sh_n) >= {JACCARD_T}""",
+    }
+
+
+def text_oracles() -> dict[str, str]:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    lang_counts = ", ".join(
+        f"len(list_intersect(toks, {list(LANG_MARKERS[lang])})) AS c_{lang}"
+        for lang in sorted(LANG_MARKERS))
+    # first alphabetical language achieving the max marker count, 'und' if 0
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    pick = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN c_{lang} = {best} THEN '{lang}'" for lang in langs) + " END"
+    return {
+        "docs_token_stats": """
+            SELECT doc_id,
+                   len(string_split_regex(text, '\\s+')) AS n_tokens,
+                   len(list_distinct(string_split_regex(text, '\\s+')))
+                       AS n_uniq,
+                   length(text) AS n_chars
+            FROM documents""",
+        "docs_quality": f"""
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            m AS (SELECT doc_id, greatest(len(toks), 1) AS n, len(toks) AS nt,
+                         len(list_filter(toks, x -> x IN ({stop_list})))
+                             AS n_stop,
+                         len(array_to_string(toks, '')) AS tok_chars
+                  FROM t)
+            SELECT doc_id, round(n_stop * 1.0 / n, 6) AS stop_ratio,
+                   round(tok_chars * 1.0 / n, 6) AS mean_token_len,
+                   CASE WHEN nt BETWEEN 20 AND 1000
+                         AND n_stop * 1.0 / n <= 0.5
+                        THEN 1 ELSE 0 END AS quality
+            FROM m""",
+        "docs_lang_id": f"""
+            WITH t AS (SELECT doc_id,
+                              list_distinct(string_split(text, ' ')) AS toks
+                       FROM documents),
+            c AS (SELECT doc_id, {lang_counts} FROM t)
+            SELECT doc_id, {pick} AS lang_pred FROM c""",
+        "docs_fingerprint": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         CASE WHEN len(toks) < 4
+                              THEN [array_to_string(toks, ' ')]
+                              ELSE [toks[i] || ' ' || toks[i+1] || ' ' ||
+                                    toks[i+2] || ' ' || toks[i+3]
+                                    for i in range(1, len(toks) - 2)] END
+                             AS grams
+                  FROM t)
+            SELECT doc_id,
+                   list_aggregate(list_transform(grams, x -> md5(x)), 'min')
+                       AS fp
+            FROM g""",
+    }
+
+
+def ann_oracles(sf_dir: str) -> dict[str, str]:
+    p = synth.ensure_synth(sf_dir)
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return {
+        "ann_topk": f"""
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id IN ({ids})),
+            s AS (SELECT q.qid AS query_id, e.vec_id,
+                         list_cosine_similarity(e.embedding, q.qe) AS sim
+                  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+            r AS (SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC, vec_id)
+                             AS rank
+                  FROM s)
+            SELECT query_id, rank, vec_id FROM r WHERE rank <= 10""",
+        "vecs_near_dup_exact": f"""
+            WITH e AS (SELECT vec_id, embedding
+                       FROM read_parquet('{p["vecs"]}'))
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""",
+    }
+
+
+def shared_oracles(sf_dir: str) -> dict[str, str]:
+    out = {}
+    out.update(relational_oracles())
+    out.update(stream_oracles())
+    out.update(dedup_oracles(sf_dir))
+    out.update(text_oracles())
+    out.update(ann_oracles(sf_dir))
+    return out

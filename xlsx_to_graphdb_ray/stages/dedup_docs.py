@@ -1,0 +1,202 @@
+"""Document deduplication family (training-data-pipeline operators).
+
+All hashing is md5-based so the DuckDB oracles can reproduce results
+bit-for-bit (``md5`` exists on both sides; minimum over fixed-width hex
+strings == minimum over the 128-bit integers, so MinHash signatures are
+lexicographic string minima — no integer conversion needed anywhere).
+
+Operators:
+
+- exact dedup          → md5(text) two-phase grouped min (D1 first-wins)
+- MinHash + LSH        → shingle → K md5-seeded minhashes → band buckets →
+                         candidate pairs per bucket → exact-Jaccard verify
+- n-gram Jaccard pairs → inverted shingle index join → pairwise verify
+- SimHash              → 64-bit md5-derived simhash per doc (Hamming buckets)
+- embedding near-dup   → see stages/ann.py (cosine blocking)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .shuffle import bucketed_map_groups, grouped_agg
+
+K_HASHES = 16
+N_BANDS = 4           # 4 rows per band
+SHINGLE_W = 3
+JACCARD_T = 0.35
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def shingles(text: str, w: int = SHINGLE_W) -> list[str]:
+    toks = text.split(" ")
+    if len(toks) < w:
+        return [" ".join(toks)] if toks != [""] else []
+    return sorted({" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)})
+
+
+def exact_dedup(docs_ds):
+    """Exact dedup by content hash, first-wins by doc_id (D1 analogue):
+    returns (text_md5, keep_id, n_copies)."""
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "text_md5": [_md5(t) for t in b["text"]],
+            "doc_id": b["doc_id"],
+        })
+
+    return grouped_agg(docs_ds.map_batches(key, batch_format="pandas"),
+                       ["text_md5"],
+                       [("keep_id", "doc_id", "min"),
+                        ("n_copies", None, "count")], n_buckets=16)
+
+
+def minhash_signatures(b: pd.DataFrame, k: int = K_HASHES) -> pd.DataFrame:
+    """Per-doc MinHash signature: sig[i] = min over shingles of
+    md5(f"{i}|{shingle}") — a fixed-width hex string; its min is the min of
+    the underlying 128-bit hash. Plus the shingle list for later verify."""
+    sigs: list[list[str]] = []
+    shl: list[list[str]] = []
+    for t in b["text"]:
+        sh = shingles(t)
+        shl.append(sh)
+        if not sh:
+            sigs.append(["z" * 32] * k)
+            continue
+        sigs.append([min(_md5(f"{i}|{s}") for s in sh) for i in range(k)])
+    out = pd.DataFrame({"doc_id": b["doc_id"].values})
+    out["sig"] = sigs
+    out["shingles"] = shl
+    return out
+
+
+def minhash_lsh_pairs(docs_ds, jaccard_t: float = JACCARD_T):
+    """Near-dup pairs via MinHash banding + exact verification.
+
+    shingle→minhash per batch → explode to (band, band_key, doc_id) rows →
+    groupby band bucket → candidate pairs within bucket → exact Jaccard on
+    the shingle sets ≥ ``jaccard_t``. Returns (doc_a, doc_b, jaccard)
+    with doc_a < doc_b, jaccard rounded to 6 dp.
+    """
+    rows_per_band = K_HASHES // N_BANDS
+
+    def bands(b: pd.DataFrame) -> pd.DataFrame:
+        sigd = minhash_signatures(b)
+        out = []
+        for did, sig, sh in zip(sigd["doc_id"], sigd["sig"],
+                                sigd["shingles"]):
+            sh_packed = "\x1f".join(sh)
+            for band in range(N_BANDS):
+                key = f"{band}|" + "|".join(
+                    sig[band * rows_per_band:(band + 1) * rows_per_band])
+                out.append((key, did, sh_packed))
+        return pd.DataFrame(out, columns=["band_key", "doc_id", "sh"])
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("band_key", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("doc_id")
+            ids = grp["doc_id"].tolist()
+            shs = [set(s.split("\x1f")) for s in grp["sh"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    inter = len(shs[i] & shs[j])
+                    union = len(shs[i] | shs[j])
+                    jac = inter / union if union else 0.0
+                    if jac >= JACCARD_T:
+                        out.append((ids[i], ids[j], round(jac, 6)))
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
+
+    banded = docs_ds.map_batches(bands, batch_format="pandas")
+    pairs = bucketed_map_groups(banded, ["band_key"], bucket_pairs)
+    # a pair can collide in several bands → dedup, keep one row
+    return grouped_agg(pairs, ["doc_a", "doc_b"],
+                       [("jaccard", "jaccard", "min")], n_buckets=16)
+
+
+def ngram_jaccard_pairs(docs_ds, jaccard_t: float = JACCARD_T):
+    """Exact n-gram-Jaccard near-dup join (no sketching): inverted shingle
+    index → co-occurring doc pairs → full verify. The candidate generator
+    counts shared shingles per pair, so Jaccard is computed from counts
+    without re-reading documents: J = shared / (|A| + |B| - shared).
+    Returns (doc_a, doc_b, jaccard)."""
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, t in zip(b["doc_id"], b["text"]):
+            sh = shingles(t)
+            n = len(sh)
+            for s in sh:
+                rows.append((s, did, n))
+        return pd.DataFrame(rows, columns=["shingle", "doc_id", "n_sh"])
+
+    # frequency cap: a shingle shared by more than MAX_DF docs is too common
+    # to be a useful near-dup signal and would explode the pair count at
+    # scale; the SQL oracle applies the same cap.
+    MAX_DF = 50
+
+    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("shingle", sort=False):
+            if len(grp) < 2 or len(grp) > MAX_DF:
+                continue
+            grp = grp.sort_values("doc_id")
+            recs = list(zip(grp["doc_id"], grp["n_sh"]))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    out.append((recs[i][0], recs[j][0],
+                                recs[i][1], recs[j][1]))
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", "na", "nb"])
+
+    exploded = docs_ds.map_batches(explode, batch_format="pandas")
+    co = bucketed_map_groups(exploded, ["shingle"], pairs_in_group)
+    shared = grouped_agg(co, ["doc_a", "doc_b"],
+                         [("shared", None, "count"),
+                          ("na", "na", "min"), ("nb", "nb", "min")],
+                         n_buckets=16)
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        union = b["na"] + b["nb"] - b["shared"]
+        jac = (b["shared"] / union).round(6)
+        keep = jac >= jaccard_t
+        return pd.DataFrame({"doc_a": b["doc_a"][keep],
+                             "doc_b": b["doc_b"][keep],
+                             "jaccard": jac[keep]})
+
+    return shared.map_batches(verify, batch_format="pandas")
+
+
+def simhash_docs(docs_ds):
+    """64-bit SimHash per doc (token-level; md5-derived bit planes).
+
+    NOTE: no SQL oracle (bit twiddling); covered by the rows-only check +
+    unit tests (near-dup docs differ in ≤ ~12 of 64 bits).
+    """
+
+    def sim(b: pd.DataFrame) -> pd.DataFrame:
+        out = np.zeros(len(b), dtype=np.uint64)
+        for i, t in enumerate(b["text"]):
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in set(t.split(" ")):
+                h = int(_md5(tok)[:16], 16)
+                bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+                acc += np.where(bits == 1, 1, -1)
+            bitsv = (acc >= 0).astype(np.uint64)
+            out[i] = np.bitwise_or.reduce(bitsv << np.arange(64, dtype=np.uint64))
+        return pd.DataFrame({"doc_id": b["doc_id"].values,
+                             "simhash": out.astype("int64").astype(object)})
+
+    return docs_ds.map_batches(sim, batch_format="pandas")
+
+
+def hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")

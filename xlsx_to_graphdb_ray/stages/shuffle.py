@@ -94,6 +94,28 @@ def grouped_agg(ds, keys: list[str], aggs: list[tuple[str, str | None, str]],
         final, batch_format="pyarrow")
 
 
+def bucketed_map_groups(ds, keys: list[str], fn,
+                        n_buckets: int = DEFAULT_BUCKETS):
+    """Group-wise pandas transform without one-Python-call-per-group cost:
+    co-locate rows by ``stable_hash(keys) % n_buckets`` and hand ``fn`` one
+    whole bucket at a time — ``fn`` does its own vectorized per-key work
+    (the anaphora-stage pattern, generalized)."""
+    import pandas as pd
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = None
+        for k in keys:
+            hk = pandas.util.hash_pandas_object(b[k].astype(str), index=False)
+            h = hk if h is None else (h * np.uint64(1000003)) ^ hk
+        b["__bucket"] = (h % n_buckets).astype("int32")
+        return b
+
+    return ds.map_batches(pre, batch_format="pandas") \
+        .groupby("__bucket").map_groups(
+            lambda g: fn(g.drop(columns="__bucket")), batch_format="pandas")
+
+
 def grouped_distinct(ds, keys: list[str], n_buckets: int = DEFAULT_BUCKETS,
                      small_result: bool = False):
     """Distinct key combinations (exact dedup, D1/D3 analogue)."""

@@ -61,14 +61,20 @@ def _frame(subj, pred: str, obj, lit: bool, prov) -> pd.DataFrame:
     })
 
 
-def entity_triples_batch(batch: pd.DataFrame) -> pd.DataFrame:
+def entity_triples_batch(batch: pd.DataFrame, ns: str = ENTITY_NS,
+                         type_label: str = "Entity") -> pd.DataFrame:
     """(canon_id, prov, name, part_type, view, state, source, revision,
-    container) batch → fan-out entity triples (≤9 per entity, ref :878-917)."""
-    subj = ENTITY_NS + batch["canon_id"].astype(str)
+    container) batch → fan-out entity triples (≤9 per entity, ref :878-917).
+
+    ``ns``/``type_label`` select the URI scheme: ``urn:entity:``/Entity for
+    the transcript graft, ``urn:part:``/Part for the reference-parity
+    tabular path (ref URI minting :881).
+    """
+    subj = ns + batch["canon_id"].astype(str)
     name = batch["name"].fillna(batch["canon_id"])
     prov = batch["prov"]
     out = [
-        _frame(subj, RDF_TYPE, ONT + "Entity", False, prov),
+        _frame(subj, RDF_TYPE, ONT + type_label, False, prov),
         _frame(subj, ONT + "name", name, True, prov),
         _frame(subj, RDFS_LABEL, name, True, prov),
     ]

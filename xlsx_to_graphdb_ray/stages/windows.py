@@ -1,0 +1,109 @@
+"""Stream-shaped operators over the ordered ``events`` log.
+
+Ray Data has no event-time windows (SURVEY.md §2.10 — the reference has no
+streaming concepts either); these re-express the standard stream patterns as
+partition-by-key + sort-within-partition batch transforms, the same design
+the order-sensitive anaphora stage uses:
+
+- tumbling window  → derive ``window_start`` per row (pure kernel) then a
+  two-phase grouped aggregate — no per-key ordering needed at all.
+- sessionization   → ``groupby(user_bucket)`` + vectorized pandas gap scan
+  (30-min inactivity closes a session).
+- as-of / next-event join (J8 analogue, ref
+  ``windchill_odata_temporal_import.py:228-247`` EVOLVES_TO: first successor
+  only) → per-bucket ``pd.merge_asof`` forward join.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pandas.util
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .shuffle import grouped_agg
+
+N_BUCKETS = 64
+SESSION_GAP_MIN = 30
+
+
+def tumbling_counts(events_ds, unit: str = "hour"):
+    """(window_start, event_type) → n, sum_value (rounded)."""
+
+    def win(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": pc.floor_temporal(b["ts"], unit=unit),
+            "event_type": b["event_type"],
+            "value": b["value"],
+        })
+
+    agg = grouped_agg(events_ds.map_batches(win, batch_format="pyarrow"),
+                      ["window_start", "event_type"],
+                      [("n", None, "count"), ("sum_value", "value", "sum")],
+                      n_buckets=16)
+    return agg.map_batches(
+        lambda b: b.assign(sum_value=b["sum_value"].round(2)),
+        batch_format="pandas")
+
+
+def _bucket(df: pd.DataFrame, key: str, n: int) -> pd.DataFrame:
+    df = df.copy()
+    df["__bucket"] = (pandas.util.hash_pandas_object(
+        df[key].astype(str), index=False) % n).astype("int32")
+    return df
+
+
+def sessionize(events_ds, gap_minutes: int = SESSION_GAP_MIN):
+    """Sessions per user: a new session starts when the gap since the
+    previous event exceeds ``gap_minutes``. Returns one row per session:
+    (user_id, session_idx, n_events, start_ts, end_ts)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        by_user = g.groupby("user_id", sort=False)
+        gap = by_user["ts"].diff()
+        new_session = gap.isna() | (gap > pd.Timedelta(minutes=gap_minutes))
+        g["session_idx"] = new_session.groupby(g["user_id"]).cumsum() \
+            .astype("int64") - 1
+        out = g.groupby(["user_id", "session_idx"], as_index=False).agg(
+            n_events=("event_id", "size"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"))
+        return out
+
+    bucketed = events_ds.map_batches(
+        lambda b: _bucket(b, "user_id", N_BUCKETS), batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(
+        per_bucket, batch_format="pandas")
+
+
+def next_event_join(events_ds, from_type: str = "view",
+                    to_type: str = "purchase"):
+    """For every ``from_type`` event, the FIRST strictly-later ``to_type``
+    event of the same user (as-of forward join). Returns
+    (event_id, user_id, next_event_id) with -1 when no successor exists
+    (avoids nullable-int hashing ambiguity in the oracle compare)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == from_type] \
+            .sort_values(["ts", "event_id"], kind="mergesort")
+        right = g[g["event_type"] == to_type] \
+            .sort_values(["ts", "event_id"], kind="mergesort") \
+            .rename(columns={"event_id": "next_event_id"})
+        if left.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "next_event_id": pd.Series([], dtype="int64")})
+        merged = pd.merge_asof(
+            left, right[["ts", "user_id", "next_event_id"]],
+            on="ts", by="user_id", direction="forward",
+            allow_exact_matches=False)
+        merged["next_event_id"] = merged["next_event_id"] \
+            .fillna(-1).astype("int64")
+        return merged[["event_id", "user_id", "next_event_id"]]
+
+    bucketed = events_ds.map_batches(
+        lambda b: _bucket(b, "user_id", N_BUCKETS), batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(
+        per_bucket, batch_format="pandas")

@@ -267,6 +267,71 @@ def make_turns(sf: float) -> pa.Table:
     })
 
 
+VOCAB = [f"{a}{b}" for a in ("re", "un", "pre", "de", "over", "sub", "mis",
+                             "out", "up", "in")
+         for b in ("load", "build", "scale", "merge", "shard", "index",
+                   "cache", "route", "batch", "spill", "fetch", "probe",
+                   "split", "joins", "group", "quant", "tune", "drift",
+                   "skews", "chunk")]  # 200 tokens
+
+
+def make_docs(sf: float) -> pa.Table:
+    """Deterministic document corpus WITH known duplicate structure, for the
+    dedup-operator family (the shared testdata docs contain no near-dups):
+
+    - k % 10 == 7 → exact duplicate of doc k-1
+    - k % 10 == 8 → near duplicate of doc k-2 (every 10th token replaced →
+      token-3-gram Jaccard ≈ 0.5-0.6, well above the 0.35 verify threshold
+      and far below exact equality)
+    - everything else: an i.i.d.-looking bag over a 200-word vocabulary
+      (cross-doc Jaccard ≪ 0.1).
+    """
+    n = max(60, int(round(50_000 * sf)))
+    h = mix2(np.arange(n, dtype=np.uint64), np.full(n, 7, dtype=np.uint64))
+    lens = (40 + (h % np.uint64(60))).astype(np.int64)
+    texts: list[str] = []
+    for k in range(n):
+        kind = k % 10
+        if kind == 7 and k >= 1:
+            texts.append(texts[k - 1])
+            continue
+        if kind == 8 and k >= 2:
+            toks = texts[k - 2].split(" ")
+            repl = VOCAB[int(h[k] % np.uint64(200))]
+            toks = [repl if i % 10 == 5 else t for i, t in enumerate(toks)]
+            texts.append(" ".join(toks))
+            continue
+        hh = mix2(np.full(lens[k], k, dtype=np.uint64),
+                  np.arange(lens[k], dtype=np.uint64))
+        texts.append(" ".join(VOCAB[int(x % np.uint64(200))] for x in hh))
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def make_vecs(sf: float, dim: int = 64, n_clusters: int = 16) -> pa.Table:
+    """Deterministic embeddings WITH known near-duplicate structure:
+    k % 10 == 9 → near copy of vector k-1 (cosine ≳ 0.999); other vectors
+    are cluster centers + noise (cross cosine ≲ 0.9)."""
+    n = max(60, int(round(50_000 * sf)))
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = np.arange(n) % n_clusters
+    noise = rng.normal(size=(n, dim)) * 0.35
+    vecs = centers[labels] + noise
+    near = (np.arange(n) % 10 == 9) & (np.arange(n) >= 1)
+    idx = np.where(near)[0]
+    vecs[idx] = vecs[idx - 1] + rng.normal(size=(len(idx), dim)) * 0.01
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(vecs.astype(np.float32))),
+        "label": pa.array(labels.astype(np.int32)),
+    })
+
+
 def sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(os.path.normpath(sf_dir))
     if base.startswith("sf"):
@@ -292,14 +357,17 @@ def ensure_synth(sf_dir: str) -> dict[str, str]:
     sf = sf_from_dir(sf_dir)
     paths = {"turns": os.path.join(out, "turns.parquet"),
              "entities": os.path.join(out, "entities.parquet"),
+             "docs": os.path.join(out, "docs_dup.parquet"),
+             "vecs": os.path.join(out, "vecs_dup.parquet"),
              "dir": out}
     os.makedirs(out, exist_ok=True)
-    if not os.path.exists(paths["entities"]):
-        tmp = paths["entities"] + f".tmp.{os.getpid()}"
-        pq.write_table(make_entities(sf), tmp)
-        os.replace(tmp, paths["entities"])
-    if not os.path.exists(paths["turns"]):
-        tmp = paths["turns"] + f".tmp.{os.getpid()}"
-        pq.write_table(make_turns(sf), tmp, row_group_size=65536)
-        os.replace(tmp, paths["turns"])
+    makers = {"entities": lambda: make_entities(sf),
+              "turns": lambda: make_turns(sf),
+              "docs": lambda: make_docs(sf),
+              "vecs": lambda: make_vecs(sf)}
+    for key, maker in makers.items():
+        if not os.path.exists(paths[key]):
+            tmp = paths[key] + f".tmp.{os.getpid()}"
+            pq.write_table(maker(), tmp, row_group_size=65536)
+            os.replace(tmp, paths[key])
     return paths
