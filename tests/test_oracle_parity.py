@@ -50,8 +50,9 @@ def con():
 
 
 ALL_QUERIES = entrymod.queries()
-ORACLED = [n for n in ALL_QUERIES if n not in
-           ("docs_simhash", "vecs_near_dup_lsh")]
+ROWS_ONLY = ("docs_simhash", "vecs_near_dup_lsh", "mm_entropy",
+             "mm_decoded_means")
+ORACLED = [n for n in ALL_QUERIES if n not in ROWS_ONLY]
 
 
 @pytest.mark.parametrize("name", ORACLED)
@@ -65,7 +66,7 @@ def test_query_matches_oracle(ray_session, oracles, con, name):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
-@pytest.mark.parametrize("name", ["docs_simhash", "vecs_near_dup_lsh"])
+@pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(ray_session, name):
     res = ALL_QUERIES[name](SF_DIR)
     df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res

@@ -211,4 +211,23 @@ def kg_oracles(sf_dir: str) -> dict[str, str]:
             SELECT tool, count(DISTINCT conv_id) AS n_convs
             FROM read_parquet('{paths["turns"]}')
             WHERE tool IS NOT NULL GROUP BY tool""",
+        "kg_twin_pairs": f"""
+            SELECT a.entity_id AS id_lo, b.entity_id AS id_hi, a.name
+            FROM read_parquet('{paths["entities"]}') a
+            JOIN read_parquet('{paths["entities"]}') b
+              ON a.name = b.name AND a.entity_id < b.entity_id""",
+        "kg_depth_topk": p + """
+            , comp_walk(anc, node, depth) AS (
+              SELECT parent, child, 1 FROM comp
+              UNION
+              SELECT w.anc, c.child, w.depth + 1
+              FROM comp_walk w JOIN comp c ON w.node = c.parent
+              WHERE w.depth < 4)
+            SELECT anc, max(depth) AS depth FROM comp_walk GROUP BY anc
+            ORDER BY depth DESC, anc LIMIT 5""",
+        "kg_resolution_report": p + f"""
+            SELECT {_NORM.format(x="alias")} AS nalias, status,
+                   count(*) AS n
+            FROM m_res WHERE status <> 'resolved'
+            GROUP BY 1, 2""",
     }

@@ -244,6 +244,16 @@ def ann_oracles(sf_dir: str) -> dict[str, str]:
     }
 
 
+def mm_oracles(sf_dir: str) -> dict[str, str]:
+    p = synth.ensure_synth(sf_dir)
+    return {
+        "mm_byte_stats": f"""
+            SELECT media_id, kind, octet_length(data) AS n_bytes,
+                   md5(hex(data)) AS checksum
+            FROM read_parquet('{p["media"]}')""",
+    }
+
+
 def shared_oracles(sf_dir: str) -> dict[str, str]:
     out = {}
     out.update(relational_oracles())
@@ -251,4 +261,5 @@ def shared_oracles(sf_dir: str) -> dict[str, str]:
     out.update(dedup_oracles(sf_dir))
     out.update(text_oracles())
     out.update(ann_oracles(sf_dir))
+    out.update(mm_oracles(sf_dir))
     return out

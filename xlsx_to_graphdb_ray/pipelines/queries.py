@@ -92,6 +92,78 @@ def kg_topic_turns(sf_dir: str):
                        small_result=True)
 
 
+def kg_twin_pairs(sf_dir: str):
+    """J5 SUPERSEDES self-join (ref snowmobile_neo4j_importer.py:250-264):
+    entities with equal name, different id, ordered id< → (id_lo, id_hi,
+    name)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    paths = synth.ensure_synth(sf_dir)
+    ents = ray.data.read_parquet(paths["entities"],
+                                 columns=["entity_id", "name"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for name, grp in g.groupby("name", sort=False):
+            ids = sorted(grp["entity_id"])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out.append((ids[i], ids[j], name))
+        return pd.DataFrame(out, columns=["id_lo", "id_hi", "name"])
+
+    return bucketed_map_groups(ents, ["name"], pairs, n_buckets=16)
+
+
+def kg_depth_topk(sf_dir: str, max_hops: int = 4, k: int = 5):
+    """A4 deepest-chain verification query (ref
+    verify_snowmobile_graph.py:145-160, :224-236): per ancestor, the longest
+    hasComponent path within ≤``max_hops``; top-``k`` by (depth desc, anc)."""
+    edges = _canonical_component_edges(sf_dir) \
+        .select_columns(["parent", "child"]).to_pandas().drop_duplicates()
+    # bounded-hop BFS with depth tracking (driver: derived edge list)
+    # longest-walk-within-max_hops: distinct (anc, node) per hop count
+    # (matches the recursive-CTE oracle's UNION-distinct semantics)
+    frontier = edges.rename(columns={"parent": "anc", "child": "node"}) \
+        .drop_duplicates()
+    frontier["depth"] = 1
+    best = frontier[["anc", "depth"]]
+    for d in range(2, max_hops + 1):
+        step = frontier.merge(edges, left_on="node", right_on="parent")
+        step = step[["anc", "child"]].rename(columns={"child": "node"}) \
+            .drop_duplicates()
+        step["depth"] = d
+        if step.empty:
+            break
+        best = pd.concat([best, step[["anc", "depth"]]], ignore_index=True)
+        frontier = step
+    out = best.groupby("anc", as_index=False)["depth"].max() \
+        .sort_values(["depth", "anc"], ascending=[False, True]).head(k) \
+        .reset_index(drop=True)
+    return ray.data.from_pandas(out)
+
+
+def kg_resolution_report(sf_dir: str):
+    """J2 resolution-report side output (ref :1392-1440): per normalized
+    alias that failed to resolve, (nalias, status, n)."""
+    from ..functions.normalize import norm_key_array
+    from ..stages.shuffle import grouped_agg
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = _mention_events(sf_dir)
+
+    def rows(b: pa.Table) -> pa.Table:
+        bad = b.filter(pc.invert(pc.equal(b["a_status"], "resolved")))
+        return pa.table({"nalias": norm_key_array(bad["a"]),
+                         "status": bad["a_status"].combine_chunks()
+                         if isinstance(bad["a_status"], pa.ChunkedArray)
+                         else bad["a_status"]})
+
+    return grouped_agg(ev.map_batches(rows, batch_format="pyarrow"),
+                       ["nalias", "status"], [("n", None, "count")],
+                       n_buckets=16)
+
+
 def kg_tool_usage(sf_dir: str):
     """Distinct conversations per tool: (tool, n_convs) — A2 analogue."""
     import pyarrow.compute as pc

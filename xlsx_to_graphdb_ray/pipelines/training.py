@@ -15,7 +15,7 @@ import ray.data
 
 from .. import synth
 from ..config import tune_context
-from ..stages import ann, dedup_docs, textstats, windows
+from ..stages import ann, dedup_docs, multimodal, textstats, windows
 from ..state.checkpoint import default_blocks
 
 ANN_QUERY_IDS = [0, 1, 2]
@@ -109,3 +109,21 @@ def vecs_near_dup_exact(sf_dir: str):
 
 def vecs_near_dup_lsh(sf_dir: str):
     return ann.cosine_near_dup_pairs(_vecs_dup(sf_dir))
+
+
+# --- multimodal plumbing (synthetic binary media) ---------------------------
+
+def _media(sf_dir: str):
+    return _read(synth.ensure_synth(sf_dir)["media"])
+
+
+def mm_byte_stats(sf_dir: str):
+    return multimodal.byte_stats(_media(sf_dir))
+
+
+def mm_entropy(sf_dir: str):
+    return multimodal.byte_entropy(_media(sf_dir))
+
+
+def mm_decoded_means(sf_dir: str):
+    return multimodal.decode_and_reduce(_media(sf_dir), fake=True)

@@ -332,6 +332,38 @@ def make_vecs(sf: float, dim: int = 64, n_clusters: int = 16) -> pa.Table:
     })
 
 
+def make_media(sf: float) -> pa.Table:
+    """Deterministic fake binary media table (images + audio) for the
+    multimodal plumbing stages: payload bytes derive from splitmix64, so
+    checksums/feature values are stable everywhere."""
+    n = max(40, int(round(5_000 * sf)))
+    k = np.arange(n, dtype=np.uint64)
+    h = mix2(k, np.full(n, 99, dtype=np.uint64))
+    is_img = (k % np.uint64(3)) != 0
+    widths = np.where(is_img, 8 + (h % np.uint64(24)).astype(np.int64), 0)
+    heights = np.where(is_img, 8 + ((h >> np.uint64(8)) % np.uint64(24))
+                       .astype(np.int64), 0)
+    rates = np.where(is_img, 0, 8000 + 100 * ((h >> np.uint64(16))
+                                              % np.uint64(80)).astype(np.int64))
+    payloads = []
+    for i in range(n):
+        m = int(200 + (int(h[i]) % 800))
+        words = mix2(np.full(m // 8 + 1, i, dtype=np.uint64),
+                     np.arange(m // 8 + 1, dtype=np.uint64))
+        payloads.append(words.tobytes()[:m])
+    return pa.table({
+        "media_id": pa.array(k.astype(np.int64)),
+        "kind": pa.array(np.where(is_img, "image", "audio").tolist(),
+                         pa.string()),
+        "format": pa.array(np.where(is_img, "fake-png", "fake-wav").tolist(),
+                           pa.string()),
+        "width": pa.array(widths.astype(np.int32)),
+        "height": pa.array(heights.astype(np.int32)),
+        "sample_rate": pa.array(rates.astype(np.int32)),
+        "data": pa.array(payloads, pa.binary()),
+    })
+
+
 def sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(os.path.normpath(sf_dir))
     if base.startswith("sf"):
@@ -359,12 +391,14 @@ def ensure_synth(sf_dir: str) -> dict[str, str]:
              "entities": os.path.join(out, "entities.parquet"),
              "docs": os.path.join(out, "docs_dup.parquet"),
              "vecs": os.path.join(out, "vecs_dup.parquet"),
+             "media": os.path.join(out, "media.parquet"),
              "dir": out}
     os.makedirs(out, exist_ok=True)
     makers = {"entities": lambda: make_entities(sf),
               "turns": lambda: make_turns(sf),
               "docs": lambda: make_docs(sf),
-              "vecs": lambda: make_vecs(sf)}
+              "vecs": lambda: make_vecs(sf),
+              "media": lambda: make_media(sf)}
     for key, maker in makers.items():
         if not os.path.exists(paths[key]):
             tmp = paths[key] + f".tmp.{os.getpid()}"
