@@ -1,0 +1,60 @@
+"""CLI for the flagship pipeline — the reference's flag surface, re-homed.
+
+Maps the reference's CLI (``spreadsheet_loader.py:1695-1718``) onto the
+transcript pipeline:
+
+    python -m xlsx_to_graphdb_ray.cli --sf-dir /root/testdata/sf0.001 \
+        --out /tmp/triples --strict-names --resolution-report
+
+The CLI owns the Ray session (guarded init); library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default=None,
+                    help="output dir for triples parquet (omit = dry run)")
+    ap.add_argument("--num-cpus", type=int, default=8)
+    ap.add_argument("--strict-names", action="store_true")
+    ap.add_argument("--resolution-report", action="store_true")
+    ap.add_argument("--dump-name-index", action="store_true")
+    ap.add_argument("--add-edge-labels", action="store_true")
+    ap.add_argument("--no-closure", action="store_true")
+    ap.add_argument("--no-dedup", action="store_true")
+    ap.add_argument("--flat-partitions", action="store_true",
+                    help="single dir instead of pred-partitioned layout")
+    args = ap.parse_args(argv)
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from .config import tune_context
+    tune_context()
+    from .pipeline_config import PipelineConfig, run_pipeline
+
+    cfg = PipelineConfig(
+        sf_dir=args.sf_dir,
+        out_dir=args.out,
+        include_closure=not args.no_closure,
+        dedup=not args.no_dedup,
+        strict_names=args.strict_names,
+        resolution_report=args.resolution_report,
+        dump_dictionary=args.dump_name_index,
+        add_edge_labels=args.add_edge_labels,
+        partition_by_pred=not args.flat_partitions,
+    )
+    stats = run_pipeline(cfg)
+    print(json.dumps(stats, default=str))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
