@@ -114,6 +114,32 @@ def test_last_wins_across_sheets():
     assert parts["name"].tolist() == ["New"]
 
 
+def test_stub_missing_entities():
+    parts = tk.build_part_table({"Sheet1": _sheet()})
+    out = tk.stub_missing_entities(parts, [("111", "999")])
+    stub = out[out["number"] == "999"]
+    assert stub["part_type"].tolist() == ["MissingPart"]
+    assert stub["name"].tolist() == ["999"]
+    # no-op when all endpoints known
+    assert len(tk.stub_missing_entities(parts, [("111", "222")])) == len(parts)
+
+
+def test_display_enrichment():
+    parts = pd.DataFrame({
+        "number": ["1", "2", "3"],
+        "name": ["a", "b", "c"],
+        "part_type": ["MechanicalPart", None, None],
+        "view": ["Design", None, None],
+        "state": ["RELEASED", None, None],
+        "source": [None, "buy", None],
+        "revision": ["A", None, None],
+        "container": [None, None, None],
+    })
+    out = tk.enrich_display(parts)
+    assert out["display_color"].tolist() == ["#2e7d32", "#ef6c00", "#9e9e9e"]
+    assert out["display_size"].tolist() == [30 + 5 * 3, 30 + 5, 30]
+
+
 def test_uri_quoting(ray_session):
     sheet = pd.DataFrame({"Number": ["100 SNOW"], "Name": ["Root"]})
     ds, _ = tk.import_tabular({"S": sheet})

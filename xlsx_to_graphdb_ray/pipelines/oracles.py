@@ -230,4 +230,19 @@ def kg_oracles(sf_dir: str) -> dict[str, str]:
                    count(*) AS n
             FROM m_res WHERE status <> 'resolved'
             GROUP BY 1, 2""",
+        "kg_prefix_pairs": p + """
+            , blk AS (
+              SELECT entity_id,
+                     string_split(name, ' ')[1] || ' ' ||
+                     string_split(name, ' ')[2] AS b
+              FROM ents WHERE len(string_split(name, ' ')) >= 3),
+            cand AS (
+              SELECT a.entity_id AS id_lo, b2.entity_id AS id_hi
+              FROM blk a JOIN blk b2
+                ON a.b = b2.b AND a.entity_id < b2.entity_id)
+            SELECT id_lo, id_hi FROM cand p2
+            WHERE NOT EXISTS (
+              SELECT 1 FROM comp c
+              WHERE (c.parent = p2.id_lo AND c.child = p2.id_hi)
+                 OR (c.parent = p2.id_hi AND c.child = p2.id_lo))""",
     }

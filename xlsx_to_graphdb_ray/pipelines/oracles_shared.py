@@ -94,6 +94,56 @@ def stream_oracles() -> dict[str, str]:
     }
 
 
+def changes_oracles(sf_dir: str) -> dict[str, str]:
+    p = synth.ensure_synth(sf_dir)
+    from .changes import MAX_TEXT_MATCHES, TYPE_LABELS
+    label_case = "CASE type " + " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in TYPE_LABELS.items()) \
+        + " ELSE 'Other' END"
+    return {
+        "changes_by_type": f"""
+            SELECT {label_case} AS change_label, count(*) AS n
+            FROM read_parquet('{p["changes"]}') GROUP BY 1""",
+        "changes_affects_links": f"""
+            WITH ranked AS (
+              SELECT c.change_id, e.entity_id,
+                     row_number() OVER (PARTITION BY c.change_id
+                                        ORDER BY e.entity_id) AS rk
+              FROM read_parquet('{p["changes"]}') c
+              JOIN read_parquet('{p["entities"]}') e
+                ON contains(c.description, e.name))
+            SELECT change_id, entity_id FROM ranked
+            WHERE rk <= {MAX_TEXT_MATCHES}""",
+        "changes_depends_on": f"""
+            SELECT change_id AS change_a,
+                   lead(change_id) OVER (PARTITION BY affected_id
+                                         ORDER BY create_date, change_id)
+                       AS change_b,
+                   affected_id
+            FROM read_parquet('{p["changes"]}')
+            QUALIFY change_b IS NOT NULL""",
+    }
+
+
+def events_extra_oracles() -> dict[str, str]:
+    return {
+        "events_type_transitions": """
+            WITH w AS (
+              SELECT event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                         AS prev_type
+              FROM events)
+            SELECT prev_type, event_type AS next_type, count(*) AS n
+            FROM w WHERE prev_type IS NOT NULL GROUP BY 1, 2""",
+        "events_props_sum": """
+            SELECT event_type,
+                   sum(coalesce(CAST(json_extract_string(props, '$.k')
+                                     AS BIGINT), 0)) AS sum_k
+            FROM events GROUP BY event_type""",
+    }
+
+
 def _doc_shingle_cte(docs_path: str) -> str:
     return f"""
 docs AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -262,4 +312,6 @@ def shared_oracles(sf_dir: str) -> dict[str, str]:
     out.update(text_oracles())
     out.update(ann_oracles(sf_dir))
     out.update(mm_oracles(sf_dir))
+    out.update(changes_oracles(sf_dir))
+    out.update(events_extra_oracles())
     return out

@@ -142,6 +142,44 @@ def kg_depth_topk(sf_dir: str, max_hops: int = 4, k: int = 5):
     return ray.data.from_pandas(out)
 
 
+def kg_prefix_pairs(sf_dir: str):
+    """J6 prefix-blocking self-join + J10 anti-join (ref
+    snowmobile_neo4j_importer.py:267-282, ingest_changes.py:191-200):
+    entities sharing the 2-token name prefix (blocking key), id-ordered,
+    minus pairs already connected by a canonical hasComponent edge."""
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import bucketed_map_groups
+
+    paths = synth.ensure_synth(sf_dir)
+    ents = ray.data.read_parquet(paths["entities"],
+                                 columns=["entity_id", "name"])
+
+    def blocks(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["name"].str.split(" ")
+        ok = toks.str.len() >= 3
+        blk = toks[ok].map(lambda t: t[0] + " " + t[1])
+        return pd.DataFrame({"entity_id": b["entity_id"][ok], "blk": blk})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("blk", sort=False):
+            ids = sorted(grp["entity_id"])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out.append((ids[i], ids[j]))
+        return pd.DataFrame(out, columns=["id_lo", "id_hi"])
+
+    cand = bucketed_map_groups(
+        ents.map_batches(blocks, batch_format="pandas"), ["blk"], pairs,
+        n_buckets=16)
+    comp = _canonical_component_edges(sf_dir)
+    # anti-join both orientations (undirected "already connected")
+    step1 = hash_join(cand, comp, on=["id_lo", "id_hi"],
+                      right_on=["parent", "child"], how="left_anti")
+    return hash_join(step1, comp, on=["id_hi", "id_lo"],
+                     right_on=["parent", "child"], how="left_anti")
+
+
 def kg_resolution_report(sf_dir: str):
     """J2 resolution-report side output (ref :1392-1440): per normalized
     alias that failed to resolve, (nalias, status, n)."""

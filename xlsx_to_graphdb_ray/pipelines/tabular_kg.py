@@ -165,6 +165,47 @@ def import_tabular(sheets: dict[str, pd.DataFrame],
     return ds, stats
 
 
+def stub_missing_entities(parts: pd.DataFrame,
+                          edges: list[tuple[str, str]]) -> pd.DataFrame:
+    """D5 (ref :672-679, :744-748): BOM endpoints absent from the parts
+    table become MissingPart stub rows — the anti-join + union that replaces
+    Cypher MERGE auto-creation."""
+    known = set(parts["number"])
+    missing = sorted({x for e in edges for x in e} - known)
+    if not missing:
+        return parts
+    stubs = pd.DataFrame({
+        "number": missing, "name": missing,
+        "part_type": "MissingPart", "view": None, "state": None,
+        "source": None, "revision": None, "container": None,
+    })
+    return pd.concat([parts, stubs], ignore_index=True)
+
+
+STATE_COLORS = {"RELEASED": "#2e7d32", "DESIGN": "#1565c0",
+                "INPLANNING": "#f9a825"}
+SOURCE_COLORS = {"make": "#6a1b9a", "buy": "#ef6c00"}
+TYPE_COLORS = {"MechanicalPart": "#455a64", "SoftwarePart": "#00838f"}
+DEFAULT_COLOR = "#9e9e9e"
+
+
+def enrich_display(parts: pd.DataFrame) -> pd.DataFrame:
+    """M11 (ref :538-599): display color by state > source > type priority;
+    node size = 30 + 5 × metadata-field count."""
+    meta_cols = ["view", "state", "source", "revision", "container"]
+
+    def color(row) -> str:
+        return (STATE_COLORS.get(row["state"])
+                or SOURCE_COLORS.get(row["source"])
+                or TYPE_COLORS.get(row["part_type"])
+                or DEFAULT_COLOR)
+
+    out = parts.copy()
+    out["display_color"] = parts.apply(color, axis=1)
+    out["display_size"] = 30 + 5 * parts[meta_cols].notna().sum(axis=1)
+    return out
+
+
 def generate_bom_by_name(parts: pd.DataFrame,
                          edges: list[tuple[str, str]]) -> pd.DataFrame:
     """J3 number→name enrichment with identity fallback (ref

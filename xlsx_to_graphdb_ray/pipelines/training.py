@@ -58,6 +58,14 @@ def events_next_purchase(sf_dir: str):
     return windows.next_event_join(_events(sf_dir))
 
 
+def events_type_transitions(sf_dir: str):
+    return windows.type_transitions(_events(sf_dir))
+
+
+def events_props_sum(sf_dir: str):
+    return windows.props_value_sum(_events(sf_dir))
+
+
 # --- dedup family (synthetic duplicate-bearing corpus) ----------------------
 
 def docs_exact_dedup(sf_dir: str):

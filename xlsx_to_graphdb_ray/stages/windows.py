@@ -21,7 +21,7 @@ import pandas.util
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .shuffle import grouped_agg
+from .shuffle import grouped_agg, bucketed_map_groups  # noqa: F401
 
 N_BUCKETS = 64
 SESSION_GAP_MIN = 30
@@ -76,6 +76,52 @@ def sessionize(events_ds, gap_minutes: int = SESSION_GAP_MIN):
         lambda b: _bucket(b, "user_id", N_BUCKETS), batch_format="pandas")
     return bucketed.groupby("__bucket").map_groups(
         per_bucket, batch_format="pandas")
+
+
+def type_transitions(events_ds):
+    """J7-style grouped consecutive pairing: per user in (ts, event_id)
+    order, count (prev_type → next_type) transitions: (prev_type,
+    next_type, n)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id", sort=False)["event_type"].shift(1)
+        keep = prev.notna()
+        out = pd.DataFrame({"prev_type": prev[keep],
+                            "next_type": g["event_type"][keep]})
+        return out.groupby(["prev_type", "next_type"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+
+    parts = bucketed_map_groups_events(events_ds, per_bucket)
+    return grouped_agg(parts, ["prev_type", "next_type"],
+                       [("n", "n", "sum")], small_result=True)
+
+
+def props_value_sum(events_ds):
+    """JSON scalar extraction (§2.9): parse ``props`` (JSON object with an
+    integer ``k``) and sum per event_type: (event_type, sum_k). Extraction
+    uses a vectorized regex over the fixed-shape payload; the oracle uses
+    DuckDB's json_extract — identical on valid JSON."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def vals(b: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(pc.fill_null(b["props"], "{}"),
+                               r'"k":\s*(?P<k>-?[0-9]+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        return pa.table({"event_type": b["event_type"],
+                         "k": pc.fill_null(k, 0)})
+
+    from .shuffle import grouped_agg as _ga
+    return _ga(events_ds.map_batches(vals, batch_format="pyarrow"),
+               ["event_type"], [("sum_k", "k", "sum")], small_result=True)
+
+
+def bucketed_map_groups_events(events_ds, fn, n_buckets: int = N_BUCKETS):
+    bucketed = events_ds.map_batches(
+        lambda b: _bucket(b, "user_id", n_buckets), batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(
+        lambda g: fn(g.drop(columns="__bucket")), batch_format="pandas")
 
 
 def next_event_join(events_ds, from_type: str = "view",

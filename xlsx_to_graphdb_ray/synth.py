@@ -332,6 +332,43 @@ def make_vecs(sf: float, dim: int = 64, n_clusters: int = 16) -> pa.Table:
     })
 
 
+CHANGE_TYPES = ["ECO", "ECN", "DEV", "REV"]
+CHANGE_STATES = ["OPEN", "IN_WORK", "REVIEW", "APPROVED", "IMPLEMENTED",
+                 "CANCELLED"]
+
+
+def make_changes(sf: float) -> pa.Table:
+    """Deterministic change-record table (the reference's enhanced-data
+    change path, ``analyze_snowmobile_data.py:193-233`` /
+    ``scripts/mcp/ingest_changes.py``): each change's description embeds the
+    canonical NAME of 1–3 entities (for J9 containment matching) and
+    references an affected entity id; create_date is monotone per entity."""
+    n = max(50, int(round(20_000 * sf)))
+    n_ent = n_entities_for(sf)
+    k = np.arange(n, dtype=np.uint64)
+    h = mix2(k, np.full(n, 13, dtype=np.uint64))
+    affected = (h % np.uint64(n_ent)).astype(np.int64)
+    texts = []
+    for i in range(n):
+        hh = int(h[i])
+        n_ment = 1 + hh % 3
+        names = [entity_name(int((hh >> (7 * j + 5)) % n_ent))
+                 for j in range(n_ment)]
+        texts.append("change affecting " + " and ".join(names))
+    create = TS_BASE_US + (h % np.uint64(10_000)).astype(np.int64) * 60_000_000
+    return pa.table({
+        "change_id": pa.array([f"C{i:07d}" for i in range(n)], pa.string()),
+        "type": pa.array([CHANGE_TYPES[i % 4] for i in range(n)], pa.string()),
+        "state": pa.array([CHANGE_STATES[i % 6] for i in range(n)],
+                          pa.string()),
+        "priority": pa.array([["low", "medium", "high"][i % 3]
+                              for i in range(n)], pa.string()),
+        "description": pa.array(texts, pa.string()),
+        "affected_id": pa.array([f"P{a:07d}" for a in affected], pa.string()),
+        "create_date": pa.array(create).cast(pa.timestamp("us")),
+    })
+
+
 def make_media(sf: float) -> pa.Table:
     """Deterministic fake binary media table (images + audio) for the
     multimodal plumbing stages: payload bytes derive from splitmix64, so
@@ -392,13 +429,15 @@ def ensure_synth(sf_dir: str) -> dict[str, str]:
              "docs": os.path.join(out, "docs_dup.parquet"),
              "vecs": os.path.join(out, "vecs_dup.parquet"),
              "media": os.path.join(out, "media.parquet"),
+             "changes": os.path.join(out, "changes.parquet"),
              "dir": out}
     os.makedirs(out, exist_ok=True)
     makers = {"entities": lambda: make_entities(sf),
               "turns": lambda: make_turns(sf),
               "docs": lambda: make_docs(sf),
               "vecs": lambda: make_vecs(sf),
-              "media": lambda: make_media(sf)}
+              "media": lambda: make_media(sf),
+              "changes": lambda: make_changes(sf)}
     for key, maker in makers.items():
         if not os.path.exists(paths[key]):
             tmp = paths[key] + f".tmp.{os.getpid()}"
