@@ -8,7 +8,7 @@ synthetic corpora are referenced by ``read_parquet`` path.
 from __future__ import annotations
 
 from .. import synth
-from ..stages.dedup_docs import JACCARD_T
+from ..stages.dedup_docs import JACCARD_T, K_HASHES, N_BANDS
 from ..stages.textstats import LANG_MARKERS, STOPWORDS
 from .training import ANN_QUERY_IDS
 
@@ -169,12 +169,13 @@ def dedup_oracles(sf_dir: str) -> dict[str, str]:
             WITH {shingle_cte},
             minh AS (
               SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || s)) AS mh
-              FROM exploded CROSS JOIN range(16) AS t(i)
+              FROM exploded CROSS JOIN range({K_HASHES}) AS t(i)
               GROUP BY doc_id, i),
             bands AS (
-              SELECT doc_id, CAST(i // 4 AS BIGINT) AS band,
+              SELECT doc_id, CAST(i // {K_HASHES // N_BANDS} AS BIGINT)
+                         AS band,
                      string_agg(mh, '|' ORDER BY i) AS sigpart
-              FROM minh GROUP BY doc_id, i // 4),
+              FROM minh GROUP BY doc_id, i // {K_HASHES // N_BANDS}),
             cand AS (
               SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
               FROM bands a JOIN bands b

@@ -26,7 +26,7 @@ import pyarrow as pa
 from .shuffle import bucketed_map_groups, grouped_agg
 
 K_HASHES = 16
-N_BANDS = 4           # 4 rows per band
+N_BANDS = 8           # 2 rows per band → P(collide) = 1-(1-J²)^8 ≈ .99 at J=.67
 SHINGLE_W = 3
 JACCARD_T = 0.35
 

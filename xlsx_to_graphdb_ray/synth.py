@@ -81,7 +81,7 @@ REVISIONS = ["A", "B", "C", "D"]
 TS_BASE_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in microseconds
 
 DATA_ROOT = "/tmp/graft_data"
-SYNTH_VERSION = "2"  # bump on any generator change → new cache dir
+SYNTH_VERSION = "3"  # bump on any generator change → new cache dir
 
 
 def n_entities_for(sf: float) -> int:
@@ -280,8 +280,8 @@ def make_docs(sf: float) -> pa.Table:
     dedup-operator family (the shared testdata docs contain no near-dups):
 
     - k % 10 == 7 → exact duplicate of doc k-1
-    - k % 10 == 8 → near duplicate of doc k-2 (every 10th token replaced →
-      token-3-gram Jaccard ≈ 0.5-0.6, well above the 0.35 verify threshold
+    - k % 10 == 8 → near duplicate of doc k-2 (every 15th token replaced →
+      token-3-gram Jaccard ≈ 0.65-0.75, above the 0.35 verify threshold
       and far below exact equality)
     - everything else: an i.i.d.-looking bag over a 200-word vocabulary
       (cross-doc Jaccard ≪ 0.1).
@@ -298,7 +298,7 @@ def make_docs(sf: float) -> pa.Table:
         if kind == 8 and k >= 2:
             toks = texts[k - 2].split(" ")
             repl = VOCAB[int(h[k] % np.uint64(200))]
-            toks = [repl if i % 10 == 5 else t for i, t in enumerate(toks)]
+            toks = [repl if i % 15 == 5 else t for i, t in enumerate(toks)]
             texts.append(" ".join(toks))
             continue
         hh = mix2(np.full(lens[k], k, dtype=np.uint64),
