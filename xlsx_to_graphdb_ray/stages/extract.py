@@ -18,11 +18,10 @@ extraction *events*:
   rows.
 - ``t``: one row per tool turn; ``a`` = tool name, ``pred`` = ``usedTool``.
 
-Implementation (hot path): no Python per row or per match. Mentions are
-extracted with iterated ``pyarrow.compute.extract_regex`` — pass *k* pulls
-each turn's *k*-th leftmost mention, then strips it with
-``replace_substring_regex(max_replacements=1)``; the loop ends when a pass
-matches nothing (≤ ``MAX_MENTIONS`` passes). Everything is RE2 + Arrow
+Implementation (hot path): no Python per row or per match. Mentions come
+from ONE ``split_pattern`` pass on the opening delimiter plus numpy offset
+math (every ``[[``-prefixed segment starts with an alias closed by ``]]``);
+relations from one ``extract_regex`` pass. Everything is RE2 + Arrow
 kernels in C++.
 """
 
@@ -34,9 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-MENTION_RE = re.compile(r"\[\[([^\]]+)\]\]")
-_MENTION_PAT = r"\[\[(?P<alias>[^\]]+)\]\]"
-_MENTION_STRIP = r"\[\[[^\]]+\]\]"
+MENTION_RE = re.compile(r"\[\[([^\]]+)\]\]")  # scalar-side mirror of the grammar
 _REL_PAT = (r"\[\[(?P<a>[^\]]+)\]\] "
             r"(?P<relword>includes|depends on|is replaced by|documents|aka) "
             r"\[\[(?P<b>[^\]]+)\]\]")
@@ -49,9 +46,6 @@ RELWORD_TO_PRED = {
 }
 _RELWORDS = pa.array(list(RELWORD_TO_PRED))
 _RELPREDS = pa.array(list(RELWORD_TO_PRED.values()))
-
-MAX_MENTIONS = 8  # passes; turns with more mentions are truncated (log-free
-# bound documented in SURVEY parity: generator emits ≤3)
 
 EVENT_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
