@@ -230,6 +230,34 @@ def kg_oracles(sf_dir: str) -> dict[str, str]:
                    count(*) AS n
             FROM m_res WHERE status <> 'resolved'
             GROUP BY 1, 2""",
+        "kg_fuzzy_candidates": p + f"""
+            , unk AS (
+              SELECT DISTINCT {_NORM.format(x="alias")} AS nalias
+              FROM m_res WHERE status = 'unknown'),
+            ut AS (SELECT nalias,
+                          list_distinct(string_split(nalias, ' ')) AS toks
+                   FROM unk),
+            et AS (SELECT entity_id,
+                          string_split({_NORM.format(x="name")}, ' ')[1]
+                              AS blk,
+                          list_distinct(string_split(
+                              {_NORM.format(x="name")}, ' ')) AS toks
+                   FROM ents),
+            cand AS (
+              SELECT u.nalias, e.entity_id,
+                     len(list_intersect(u.toks, e.toks)) * 1.0 /
+                     len(list_distinct(u.toks || e.toks)) AS score
+              FROM ut u JOIN et e
+                ON string_split(u.nalias, ' ')[1] = e.blk),
+            mx AS (SELECT nalias, max(score) AS mx FROM cand GROUP BY nalias),
+            top AS (
+              SELECT c.nalias, c.entity_id, c.score
+              FROM cand c JOIN mx ON mx.nalias = c.nalias
+               AND c.score = mx.mx
+              WHERE mx.mx >= 0.5)
+            SELECT nalias, entity_id, round(score, 6) AS score FROM top
+            WHERE nalias IN (SELECT nalias FROM top
+                             GROUP BY nalias HAVING count(*) = 1)""",
         "kg_prefix_pairs": p + """
             , blk AS (
               SELECT entity_id,

@@ -180,6 +180,31 @@ def kg_prefix_pairs(sf_dir: str):
                      right_on=["parent", "child"], how="left_anti")
 
 
+def kg_fuzzy_candidates(sf_dir: str):
+    """Fuzzy tier (north-star J9): unresolved aliases scored against the
+    token-blocked entity index: (nalias, entity_id, score)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..functions.normalize import norm_key_array
+    from ..stages.fuzzy import fuzzy_resolve_unknowns
+    from ..stages.shuffle import grouped_distinct
+
+    ev = _mention_events(sf_dir)
+
+    def unknowns(b: pa.Table) -> pa.Table:
+        u = b.filter(pc.equal(b["a_status"], "unknown"))
+        return pa.table({"nalias": norm_key_array(u["a"])})
+
+    distinct = grouped_distinct(
+        ev.map_batches(unknowns, batch_format="pyarrow"), ["nalias"],
+        small_result=True)
+    ents = pq.read_table(synth.ensure_synth(sf_dir)["entities"],
+                         columns=["entity_id", "name"]).to_pandas()
+    return fuzzy_resolve_unknowns(distinct, ents)
+
+
 def kg_resolution_report(sf_dir: str):
     """J2 resolution-report side output (ref :1392-1440): per normalized
     alias that failed to resolve, (nalias, status, n)."""

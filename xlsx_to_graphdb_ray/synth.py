@@ -81,7 +81,7 @@ REVISIONS = ["A", "B", "C", "D"]
 TS_BASE_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in microseconds
 
 DATA_ROOT = "/tmp/graft_data"
-SYNTH_VERSION = "3"  # bump on any generator change → new cache dir
+SYNTH_VERSION = "4"  # bump on any generator change → new cache dir
 
 
 def n_entities_for(sf: float) -> int:
@@ -122,6 +122,16 @@ def make_entities(sf: float) -> pa.Table:
     })
 
 
+def typo_name(name: str) -> str:
+    """Fuzzy-tier alias: damage the 2nd token ("alpha rotor 3" →
+    "alpha rotorx 3"); 1-token (numeric) names are left exact."""
+    toks = name.split(" ")
+    if len(toks) < 3:
+        return name
+    toks[1] = toks[1] + "x"
+    return " ".join(toks)
+
+
 def _alias(k: int, variant: int, h: int) -> str:
     """Alias text for entity k under variant bucket ``variant`` ∈ [0,20)."""
     name = entity_name(k)
@@ -135,7 +145,9 @@ def _alias(k: int, variant: int, h: int) -> str:
         return f"P{k:07d}"
     if variant < 18:
         return name + ".0" if name.isdigit() else name
-    return f"ghost item {h % 997}"
+    if variant == 18:
+        return f"ghost item {h % 997}"
+    return typo_name(name)
 
 
 def make_turns(sf: float) -> pa.Table:
@@ -204,6 +216,7 @@ def make_turns(sf: float) -> pa.Table:
     # --- fully vectorized text assembly (object-dtype numpy string algebra;
     # semantics identical to the per-row reference formulation in _alias) ---
     names = np.array([entity_name(i) for i in range(n_ent)], dtype=object)
+    typos = np.array([typo_name(nm) for nm in names], dtype=object)
     is_digit = np.array([nm.isdigit() for nm in names])
     ghost = np.char.add("ghost item ",
                         (h % np.uint64(997)).astype(np.int64).astype(str)
@@ -222,8 +235,10 @@ def make_turns(sf: float) -> pa.Table:
             "P", np.char.zfill(e[idv].astype(str), 7)).astype(object)
         flt = (v >= 16) & (v < 18) & is_digit[e]
         out[flt] = nm[flt] + ".0"
-        gh = v >= 18
+        gh = v == 18
         out[gh] = ghost[gh]
+        ty = v == 19
+        out[ty] = typos[e][ty]
         return out
 
     a0, a1, a2 = alias_col(0), alias_col(1), alias_col(2)
