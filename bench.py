@@ -77,6 +77,20 @@ def run_bench() -> dict:
     timed("kg_topic_turns", q.kg_topic_turns)
     timed("kg_tool_usage", q.kg_tool_usage)
     timed("kg_resolution_status", q.kg_resolution_status)
+    timed("kg_fuzzy_candidates", q.kg_fuzzy_candidates)
+
+    # training-data operators at the same tier
+    from xlsx_to_graphdb_ray.pipelines import relational as r
+    from xlsx_to_graphdb_ray.pipelines import training as tr
+    timed("docs_exact_dedup", tr.docs_exact_dedup)
+    timed("docs_minhash_pairs", tr.docs_minhash_pairs)
+    timed("docs_token_stats", tr.docs_token_stats)
+    timed("ann_topk", tr.ann_topk)
+    timed("vecs_near_dup_lsh", tr.vecs_near_dup_lsh)
+    timed("events_sessionize", tr.events_sessionize)
+    timed("events_tumbling", tr.events_tumbling)
+    timed("rel_pricing_summary", r.pricing_summary)
+    timed("rel_brand_revenue", r.brand_revenue)
 
     out = {
         "metric": "kg_triples_e2e",
