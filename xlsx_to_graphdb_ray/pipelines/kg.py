@@ -318,6 +318,11 @@ def write_triples(sf_dir: str, out_dir: str) -> str:
         sp = pc.replace_substring_regex(b["pred"], r"^.*[:#]", "")
         return b.append_column("pred_short", sp)
 
+    from ray.data._internal.savemode import SaveMode
+
+    from ..state.checkpoint import DeterministicFilenames
     ds.map_batches(short_pred, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["pred_short"])
+        out_dir, partition_cols=["pred_short"],
+        filename_provider=DeterministicFilenames(),
+        mode=SaveMode.OVERWRITE)
     return out_dir

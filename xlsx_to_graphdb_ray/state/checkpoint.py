@@ -28,6 +28,21 @@ import ray.data
 MANIFEST = "_manifest.json"
 
 
+class DeterministicFilenames:
+    """Stable part-file names (``part-<task>-<block>.parquet``) so reruns
+    overwrite instead of accumulating UUID-named files — the sink-side
+    idempotency the reference got from Cypher MERGE (SURVEY.md §7.4)."""
+
+    def get_filename_for_block(self, block, write_uuid, task_index,
+                               block_index):
+        return f"part-{task_index:05d}-{block_index:05d}.parquet"
+
+    def get_filename_for_row(self, row, write_uuid, task_index, block_index,
+                             row_index):
+        return (f"part-{task_index:05d}-{block_index:05d}"
+                f"-{row_index:08d}.parquet")
+
+
 def file_fingerprint(path: str) -> str:
     st = os.stat(path)
     return f"{os.path.basename(path)}:{st.st_size}:{int(st.st_mtime)}"
