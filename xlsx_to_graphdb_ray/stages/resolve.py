@@ -143,6 +143,81 @@ def resolve_events(events_ds, lookup_dicts, *, batch_size: int = 65536):
     )
 
 
+def resolve_events_partitioned(events_ds, entities_ds, *,
+                               n_buckets: int = 32):
+    """Scale-path resolve: hash-partitioned join instead of broadcast.
+
+    For entity dictionaries too large to ``ray.put`` (the broadcast path's
+    documented assumption), the same J1 semantics run as two bucketed hash
+    joins on the normalized key: events ⋈ name-index (nname → n_cand,
+    only_id), then the no-candidate remainder ⋈ id-index (number-fallback).
+    Statuses derived vectorized afterwards. Semantically identical to
+    ``resolve_events`` (tested) — trade: two shuffles of the event stream
+    instead of zero.
+    """
+    import pyarrow as pa
+
+    from ..functions.normalize import norm_key_array
+    from .joins import hash_join
+    from .shuffle import grouped_agg
+
+    def add_norms(b: pa.Table) -> pa.Table:
+        b = b.append_column("na", norm_key_array(b["a"]))
+        return b.append_column("nb", norm_key_array(b["b"]))
+
+    ev = events_ds.map_batches(add_norms, batch_format="pyarrow")
+
+    def name_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"nname": norm_key_array(b["name"]),
+                         "eid": b["entity_id"].combine_chunks()
+                         if isinstance(b["entity_id"], pa.ChunkedArray)
+                         else b["entity_id"]})
+
+    name_idx = grouped_agg(
+        entities_ds.map_batches(name_rows, batch_format="pyarrow"),
+        ["nname"], [("n_cand", None, "count"), ("only_id", "eid", "min")],
+        n_buckets=n_buckets)
+    id_idx = entities_ds.map_batches(
+        lambda b: pa.table({
+            "nid": pc_lower(b["entity_id"]),
+            "fallback_id": b["entity_id"].combine_chunks()
+            if isinstance(b["entity_id"], pa.ChunkedArray)
+            else b["entity_id"]}),
+        batch_format="pyarrow")
+
+    j1 = hash_join(ev, name_idx, on=["na"], right_on=["nname"], how="left",
+                   n_buckets=n_buckets)
+    j2 = hash_join(j1, id_idx, on=["na"], right_on=["nid"], how="left",
+                   n_buckets=n_buckets)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n_cand = b["n_cand"].fillna(0).astype("int64")
+        eid = b["only_id"].where(n_cand == 1, None)
+        fb = (n_cand == 0) & b["fallback_id"].notna()
+        eid = eid.where(~fb, b["fallback_id"])
+        status = np.select([n_cand > 1, (n_cand == 1) | fb],
+                           ["ambiguous", "resolved"], default="unknown")
+        out = b.drop(columns=["na", "nb", "nname", "n_cand", "only_id",
+                              "nid", "fallback_id"], errors="ignore")
+        out["a_id"] = eid
+        out["a_status"] = status
+        is_t = out["kind"] == "t"
+        out.loc[is_t, "a_id"] = out.loc[is_t, "a"]
+        out.loc[is_t, "a_status"] = "resolved"
+        return out
+
+    return j2.map_batches(finish, batch_format="pandas")
+
+
+def pc_lower(arr):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pc.utf8_lower(arr)
+
+
 def strict_gate(resolved_ds) -> dict:
     """Count statuses; raise like the reference's strict mode if any
     unknown/ambiguous mention or relation endpoint exists.
