@@ -6,9 +6,10 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": <float>, "num_cpus": N,
    "triples": T, "turns": U, "triples_per_sec": ..., "turns_per_sec": ...}
 
-``--scaling`` runs the same job in two fresh processes (num_cpus=8 and 32)
-on the same input and reports both plus scaling efficiency
-(cluster-free evidence protocol per BASELINE.md).
+``--scaling`` runs the same job in two fresh processes at N vs 4N CPUs
+(default N=2 vs 8, override via GRAFT_SCALING_CPUS_LO) on the same larger
+synthetic input (default /tmp/graft_scale/sf2, ~12M turns) and reports both
+plus scaling efficiency (cluster-free evidence protocol per BASELINE.md).
 """
 
 from __future__ import annotations
@@ -109,12 +110,14 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, fresh processes, num_cpus=8 vs 32 → scaling efficiency.
+    """Same job, fresh processes, N vs 4N CPUs (default 2 vs 8) → efficiency.
 
-    Runs on a larger synthetic tier (default sf0.5, ~3M turns) than the
-    throughput bench: at sf0.1 the whole pipeline finishes in ~15 s and is
-    execution-latency-bound, which measures Ray's fixed orchestration cost,
-    not how the job scales. Identical input for both parallelism levels.
+    Runs on a larger synthetic tier (default /tmp/graft_scale/sf2, ~12M
+    turns) than the throughput bench: at sf0.1 the whole pipeline finishes
+    in ~15 s and is execution-latency-bound, which measures Ray's fixed
+    orchestration cost, not how the job scales. Identical input for both
+    parallelism levels; low CPU counts keep the machine unsaturated so the
+    4N leg isn't throttled by the sandbox's real core budget.
     """
     scale_dir = os.environ.get("GRAFT_SCALING_SF_DIR", "/tmp/graft_scale/sf2")
     lo = int(os.environ.get("GRAFT_SCALING_CPUS_LO", "2"))

@@ -26,13 +26,15 @@ def test_partitioned_resolve_matches_broadcast(ray_session):
     partitioned = resolve_events_partitioned(
         events, ray.data.read_parquet(paths["entities"]))
 
-    cols = ["conv_id", "turn_idx", "ord", "kind", "a", "a_id", "a_status"]
+    cols = ["conv_id", "turn_idx", "ord", "kind", "a", "a_id", "a_status",
+            "a_ncand", "b", "b_id", "b_status", "b_ncand"]
 
     def norm(ds):
         df = ds.to_pandas()[cols].copy()
-        df["a_id"] = df["a_id"].where(pd.notna(df["a_id"]), None).astype(str)
-        df["turn_idx"] = df["turn_idx"].astype("int64")
-        df["ord"] = df["ord"].astype("int64")
+        for c in ("a_id", "a_status", "b", "b_id", "b_status"):
+            df[c] = df[c].where(pd.notna(df[c]), None).astype(str)
+        for c in ("turn_idx", "ord", "a_ncand", "b_ncand"):
+            df[c] = df[c].astype("int64")
         return df.sort_values(cols, kind="mergesort").reset_index(drop=True)
 
     a, b = norm(broadcast), norm(partitioned)

@@ -42,9 +42,18 @@ def tune_context() -> None:
     # block sizes ≤8 partitions keeps aggregator coordination cheap while
     # each partition stays well under a worker's heap. (On a real multi-node
     # cluster size this to ~bytes/64MB instead.)
-    ctx.default_hash_shuffle_parallelism = max(2, min(ncpu, 8))
+    parallelism = max(2, min(ncpu, 8))
+    ctx.default_hash_shuffle_parallelism = parallelism
     try:
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+        # bound TOTAL shuffle-actor CPU reservation to a fraction of the
+        # session, assuming up to ~4 shuffle ops can be live in one streaming
+        # execution (anaphora + key-res + two joins on the partitioned
+        # resolve path). A flat 0.25/partition deadlocks 4-CPU sessions:
+        # 4 ops x 4 partitions x 0.25 = every CPU reserved, none left for
+        # the map tasks feeding the shuffles. Measured: 0.25 at 32 CPUs
+        # (unchanged), 0.0625 at 4 CPUs unblocks the chain.
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = \
+            max(0.05, min(0.25, ncpu / (16 * parallelism)))
     except Exception:
         pass
     ctx.enable_progress_bars = False

@@ -53,6 +53,25 @@ PIPELINE_VERSION = "5"
 
 CKPT_ROOT = "/tmp/graft_ckpt"
 
+# entity-dimension rows above which resolve switches from the broadcast
+# dictionary (ray.put once, zero shuffles of the event stream) to the
+# hash-partitioned join path (resolve_events_partitioned — two shuffles,
+# but no single-worker dictionary heap requirement). ~2M entries is a
+# few-hundred-MB dict: comfortably broadcastable, so the partitioned path
+# only engages for genuinely large dimensions. Override for tests/tuning
+# via GRAFT_BROADCAST_ENTITY_LIMIT.
+BROADCAST_ENTITY_LIMIT = 2_000_000
+
+
+def _broadcast_limit() -> int:
+    return int(os.environ.get("GRAFT_BROADCAST_ENTITY_LIMIT",
+                              BROADCAST_ENTITY_LIMIT))
+
+
+def _entity_count(entities_path: str) -> int:
+    import pyarrow.parquet as pq
+    return pq.read_metadata(entities_path).num_rows
+
 # predicates whose object is a literal (for obj_lit re-derivation post-dedup)
 _LIT_PREDS = {ONT + "name", RDFS_LABEL, ONT + "hasRevision",
               ONT + "inContainer", ONT + "usedTool"}
@@ -71,10 +90,17 @@ def _fingerprint(paths: dict[str, str]) -> str:
 
 
 def resolved_events(sf_dir: str) -> ray.data.Dataset:
-    """Checkpointed: extraction events with resolution columns attached."""
+    """Checkpointed: extraction events with resolution columns attached.
+
+    Resolve auto-dispatches on entity-dimension size: broadcast dictionary
+    below ``BROADCAST_ENTITY_LIMIT`` rows, hash-partitioned join above it
+    (the scale path for non-broadcastable dictionaries). The chosen path is
+    part of the checkpoint fingerprint so flipping the limit invalidates.
+    """
     tune_context()
     paths = synth.ensure_synth(sf_dir)
-    fp = _fingerprint(paths)
+    partitioned = _entity_count(paths["entities"]) > _broadcast_limit()
+    fp = _fingerprint(paths) + ("|part" if partitioned else "|bcast")
 
     def make():
         from ..state.checkpoint import default_blocks
@@ -83,6 +109,11 @@ def resolved_events(sf_dir: str) -> ray.data.Dataset:
             override_num_blocks=default_blocks())
         events = turns.map_batches(extract_events, batch_format="pyarrow")
         events = substitute_anaphora(events)
+        if partitioned:
+            from ..stages.resolve import resolve_events_partitioned
+            entities = ray.data.read_parquet(
+                paths["entities"], columns=["entity_id", "name"])
+            return resolve_events_partitioned(events, entities)
         lookups = build_lookup_dicts(paths["entities"])
         return resolve_events(events, lookups)
 
@@ -94,11 +125,23 @@ def resolved_events(sf_dir: str) -> ray.data.Dataset:
 def canonical_delta(sf_dir: str) -> pd.DataFrame:
     """sameAs connected-components delta map (entity_id → canon_id ≠ self).
 
-    Cached as a small parquet next to the checkpoints.
+    Cached as a small parquet next to the checkpoints, guarded by the same
+    input fingerprint as the stage checkpoints — an input-data change without
+    a PIPELINE_VERSION bump must recompute the delta, not silently reuse a
+    stale map (that would poison canonical ids in every downstream branch).
     """
+    import json
+    paths = synth.ensure_synth(sf_dir)
+    fp = _fingerprint(paths)
     cache = os.path.join(workdir(sf_dir), "canonical_delta.parquet")
-    if os.path.exists(cache):
-        return pd.read_parquet(cache)
+    sidecar = cache + ".fp.json"
+    if os.path.exists(cache) and os.path.exists(sidecar):
+        try:
+            with open(sidecar) as f:
+                if json.load(f).get("fingerprint") == fp:
+                    return pd.read_parquet(cache)
+        except (json.JSONDecodeError, OSError):
+            pass
     ev = resolved_events(sf_dir)
     pairs = ev.filter(
         expr="kind == 'r' and pred == 'sameAs' and a_status == 'resolved' "
@@ -109,6 +152,10 @@ def canonical_delta(sf_dir: str) -> pd.DataFrame:
     tmp = cache + f".tmp.{os.getpid()}"
     delta.to_parquet(tmp)
     os.replace(tmp, cache)
+    tmp_fp = sidecar + f".tmp.{os.getpid()}"
+    with open(tmp_fp, "w") as f:
+        json.dump({"fingerprint": fp}, f)
+    os.replace(tmp_fp, sidecar)
     return delta
 
 
@@ -318,11 +365,11 @@ def write_triples(sf_dir: str, out_dir: str) -> str:
         sp = pc.replace_substring_regex(b["pred"], r"^.*[:#]", "")
         return b.append_column("pred_short", sp)
 
-    from ray.data._internal.savemode import SaveMode
-
     from ..state.checkpoint import DeterministicFilenames
+    # "overwrite" is the public string form of ray.data's SaveMode str-enum
+    # (avoids importing the private ray.data._internal.savemode module)
     ds.map_batches(short_pred, batch_format="pyarrow").write_parquet(
         out_dir, partition_cols=["pred_short"],
         filename_provider=DeterministicFilenames(),
-        mode=SaveMode.OVERWRITE)
+        mode="overwrite")
     return out_dir

@@ -75,10 +75,10 @@ def stream_oracles() -> dict[str, str]:
               FROM ordered),
             numbered AS (
               SELECT user_id, event_id, ts,
-                     sum(new_session) OVER (PARTITION BY user_id
-                                            ORDER BY ts, event_id
-                                            ROWS UNBOUNDED PRECEDING) - 1
-                         AS session_idx
+                     CAST(sum(new_session) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id
+                                                 ROWS UNBOUNDED PRECEDING) - 1
+                          AS BIGINT) AS session_idx
               FROM flagged)
             SELECT user_id, session_idx, count(*) AS n_events,
                    min(ts) AS start_ts, max(ts) AS end_ts
@@ -138,8 +138,8 @@ def events_extra_oracles() -> dict[str, str]:
             FROM w WHERE prev_type IS NOT NULL GROUP BY 1, 2""",
         "events_props_sum": """
             SELECT event_type,
-                   sum(coalesce(CAST(json_extract_string(props, '$.k')
-                                     AS BIGINT), 0)) AS sum_k
+                   CAST(sum(coalesce(CAST(json_extract_string(props, '$.k')
+                                          AS BIGINT), 0)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type""",
     }
 

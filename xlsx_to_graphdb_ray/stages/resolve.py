@@ -41,22 +41,25 @@ def _norm_series(alias: pd.Series) -> pd.Series:
             .str.replace(_FLOAT_INT_PAT, r"\1", regex=True))
 
 
+def _split_name_index(name_to_ids: dict) -> tuple[dict, dict]:
+    """Split the name index into a count map and a singleton map so every
+    lookup is a C-level ``Series.map`` — no Python per-row calls."""
+    count_map = {k: len(v) for k, v in name_to_ids.items()}
+    single_map = {k: v[0] for k, v in name_to_ids.items() if len(v) == 1}
+    return count_map, single_map
+
+
 def _resolve_series(alias: pd.Series, name_to_ids: dict, id_map: dict,
-                    _aux_cache: dict = {}):
+                    aux: tuple[dict, dict] | None = None):
     """Vectorized resolve of an alias series → (entity_id, status, n_cand).
 
-    ``name_to_ids`` is split (cached per dict identity) into a count map and
-    a singleton map so every lookup is a C-level ``Series.map`` — no Python
-    per-row calls.
+    ``aux`` is the prebuilt ``_split_name_index`` result — callers that
+    resolve many batches (Resolver) build it once per worker; there is no
+    module-level cache keyed on dict identity (an ``id()`` key can silently
+    alias a recycled address to a *different* dictionary).
     """
-    aux = _aux_cache.get(id(name_to_ids))
-    if aux is None:
-        count_map = {k: len(v) for k, v in name_to_ids.items()}
-        single_map = {k: v[0] for k, v in name_to_ids.items() if len(v) == 1}
-        aux = (count_map, single_map)
-        _aux_cache.clear()
-        _aux_cache[id(name_to_ids)] = aux
-    count_map, single_map = aux
+    count_map, single_map = aux if aux is not None \
+        else _split_name_index(name_to_ids)
 
     n = _norm_series(alias)
     n_cand = n.map(count_map).fillna(0).astype("int64")
@@ -85,10 +88,11 @@ class Resolver:
         d = ray.get(dict_ref) if isinstance(dict_ref, ray.ObjectRef) else dict_ref
         self.name_to_ids = d["name_to_ids"]
         self.id_map = d["id_map"]
+        self.aux = _split_name_index(self.name_to_ids)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         a_id, a_status, a_n = _resolve_series(
-            batch["a"], self.name_to_ids, self.id_map)
+            batch["a"], self.name_to_ids, self.id_map, self.aux)
         batch = batch.copy()
         batch["a_id"] = a_id
         batch["a_status"] = a_status
@@ -99,7 +103,8 @@ class Resolver:
         batch["b_ncand"] = 0
         if has_b.any():
             b_id, b_status, b_n = _resolve_series(
-                batch.loc[has_b, "b"], self.name_to_ids, self.id_map)
+                batch.loc[has_b, "b"], self.name_to_ids, self.id_map,
+                self.aux)
             batch.loc[has_b, "b_id"] = b_id
             batch.loc[has_b, "b_status"] = b_status
             batch.loc[has_b, "b_ncand"] = b_n.astype("int32")
@@ -143,23 +148,84 @@ def resolve_events(events_ds, lookup_dicts, *, batch_size: int = 65536):
     )
 
 
+def key_resolution_table(entities_ds, *, n_buckets: int = 32):
+    """Distributed per-key resolution table (the scale form of the broadcast
+    dictionary): one row per normalized lookup key with the *decision*
+    already made — ``(key, r_id, r_status, r_ncand)``.
+
+    Built in a single bucketed aggregation over the entity dimension: each
+    entity emits a name-index row (key = ``norm_key(name)``) and an id-index
+    row (key = ``strip+lower(entity_id)``, the same normalization the
+    broadcast ``id_map`` uses); the grouped combine then yields per key
+    ``n_cand`` (count of name rows), the singleton candidate, and the
+    number-fallback id — exactly the three lookups ``_resolve_series`` does.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.normalize import norm_key_array
+    from .shuffle import grouped_agg
+
+    def emit(b: pa.Table) -> pa.Table:
+        eid = b["entity_id"].combine_chunks() \
+            if isinstance(b["entity_id"], pa.ChunkedArray) else b["entity_id"]
+        eid = eid.cast(pa.string())
+        n = len(b)
+        name_rows = pa.table({
+            "key": norm_key_array(b["name"]),
+            "name_eid": eid,
+            "id_eid": pa.nulls(n, pa.string()),
+            "one": pa.array(np.ones(n, dtype=np.int64)),
+        })
+        id_rows = pa.table({
+            "key": pc.utf8_lower(pc.utf8_trim_whitespace(eid)),
+            "name_eid": pa.nulls(n, pa.string()),
+            "id_eid": eid,
+            "one": pa.array(np.zeros(n, dtype=np.int64)),
+        })
+        return pa.concat_tables([name_rows, id_rows])
+
+    agg = grouped_agg(
+        entities_ds.map_batches(emit, batch_format="pyarrow"),
+        ["key"],
+        [("n_cand", "one", "sum"), ("only_id", "name_eid", "min"),
+         ("fallback_id", "id_eid", "min")],
+        n_buckets=n_buckets)
+
+    def decide(b: pd.DataFrame) -> pd.DataFrame:
+        n_cand = b["n_cand"].fillna(0).astype("int64")
+        eid = b["only_id"].where(n_cand == 1, None)
+        fb = (n_cand == 0) & b["fallback_id"].notna()
+        eid = eid.where(~fb, b["fallback_id"])
+        status = np.select([n_cand > 1, (n_cand == 1) | fb],
+                           ["ambiguous", "resolved"], default="unknown")
+        return pd.DataFrame({
+            "key": b["key"], "r_id": eid.where(eid.notna(), None),
+            "r_status": pd.Series(status, index=b.index, dtype=object),
+            "r_ncand": n_cand.astype("int32")})
+
+    return agg.map_batches(decide, batch_format="pandas")
+
+
 def resolve_events_partitioned(events_ds, entities_ds, *,
                                n_buckets: int = 32):
-    """Scale-path resolve: hash-partitioned join instead of broadcast.
+    """Scale-path resolve: hash-partitioned joins instead of broadcast.
 
     For entity dictionaries too large to ``ray.put`` (the broadcast path's
     documented assumption), the same J1 semantics run as two bucketed hash
-    joins on the normalized key: events ⋈ name-index (nname → n_cand,
-    only_id), then the no-candidate remainder ⋈ id-index (number-fallback).
-    Statuses derived vectorized afterwards. Semantically identical to
-    ``resolve_events`` (tested) — trade: two shuffles of the event stream
-    instead of zero.
+    joins of the event stream against the per-key resolution table
+    (``key_resolution_table``): once on the ``a`` endpoint, once on the
+    ``b`` endpoint, producing the full broadcast-path column set
+    (a_id/a_status/a_ncand, b_id/b_status/b_ncand). Semantically identical
+    to ``resolve_events`` (tested, both endpoints) — trade: two shuffles of
+    the event stream instead of zero.
     """
     import pyarrow as pa
 
     from ..functions.normalize import norm_key_array
     from .joins import hash_join
-    from .shuffle import grouped_agg
+
+    key_res = key_resolution_table(entities_ds, n_buckets=n_buckets)
 
     def add_norms(b: pa.Table) -> pa.Table:
         b = b.append_column("na", norm_key_array(b["a"]))
@@ -167,55 +233,42 @@ def resolve_events_partitioned(events_ds, entities_ds, *,
 
     ev = events_ds.map_batches(add_norms, batch_format="pyarrow")
 
-    def name_rows(b: pa.Table) -> pa.Table:
-        return pa.table({"nname": norm_key_array(b["name"]),
-                         "eid": b["entity_id"].combine_chunks()
-                         if isinstance(b["entity_id"], pa.ChunkedArray)
-                         else b["entity_id"]})
-
-    name_idx = grouped_agg(
-        entities_ds.map_batches(name_rows, batch_format="pyarrow"),
-        ["nname"], [("n_cand", None, "count"), ("only_id", "eid", "min")],
-        n_buckets=n_buckets)
-    id_idx = entities_ds.map_batches(
-        lambda b: pa.table({
-            "nid": pc_lower(b["entity_id"]),
-            "fallback_id": b["entity_id"].combine_chunks()
-            if isinstance(b["entity_id"], pa.ChunkedArray)
-            else b["entity_id"]}),
-        batch_format="pyarrow")
-
-    j1 = hash_join(ev, name_idx, on=["na"], right_on=["nname"], how="left",
-                   n_buckets=n_buckets)
-    j2 = hash_join(j1, id_idx, on=["na"], right_on=["nid"], how="left",
+    j1 = hash_join(ev, key_res, on=["na"], right_on=["key"], how="left",
                    n_buckets=n_buckets)
 
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        n_cand = b["n_cand"].fillna(0).astype("int64")
-        eid = b["only_id"].where(n_cand == 1, None)
-        fb = (n_cand == 0) & b["fallback_id"].notna()
-        eid = eid.where(~fb, b["fallback_id"])
-        status = np.select([n_cand > 1, (n_cand == 1) | fb],
-                           ["ambiguous", "resolved"], default="unknown")
-        out = b.drop(columns=["na", "nb", "nname", "n_cand", "only_id",
-                              "nid", "fallback_id"], errors="ignore")
-        out["a_id"] = eid
-        out["a_status"] = status
+    def finish_a(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.drop(columns=["na", "key"], errors="ignore")
+        out = out.rename(columns={"r_id": "a_id", "r_status": "a_status",
+                                  "r_ncand": "a_ncand"})
+        out["a_status"] = out["a_status"].where(
+            out["a_status"].notna(), "unknown").astype(object)
+        out["a_ncand"] = pd.to_numeric(
+            out["a_ncand"], errors="coerce").fillna(0).astype("int32")
         is_t = out["kind"] == "t"
         out.loc[is_t, "a_id"] = out.loc[is_t, "a"]
         out.loc[is_t, "a_status"] = "resolved"
         return out
 
-    return j2.map_batches(finish, batch_format="pandas")
+    a_done = j1.map_batches(finish_a, batch_format="pandas")
 
+    j2 = hash_join(a_done, key_res, on=["nb"], right_on=["key"], how="left",
+                   n_buckets=n_buckets)
 
-def pc_lower(arr):
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    def finish_b(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.drop(columns=["nb", "key"], errors="ignore")
+        out = out.rename(columns={"r_id": "b_id", "r_status": "b_status",
+                                  "r_ncand": "b_ncand"})
+        has_b = out["b"].notna()
+        out["b_id"] = out["b_id"].where(has_b, None)
+        out["b_status"] = out["b_status"].where(
+            out["b_status"].notna() | ~has_b, "unknown")
+        out["b_status"] = out["b_status"].where(has_b, None).astype(object)
+        out["b_ncand"] = pd.to_numeric(
+            out["b_ncand"], errors="coerce").fillna(0).astype("int32")
+        out.loc[~has_b, "b_ncand"] = 0
+        return out
 
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    return pc.utf8_lower(arr)
+    return j2.map_batches(finish_b, batch_format="pandas")
 
 
 def strict_gate(resolved_ds) -> dict:

@@ -44,8 +44,12 @@ class DeterministicFilenames:
 
 
 def file_fingerprint(path: str) -> str:
-    st = os.stat(path)
-    return f"{os.path.basename(path)}:{st.st_size}:{int(st.st_mtime)}"
+    # full resolved path + size + nanosecond mtime: a same-size regeneration
+    # within the same second, or two sf_dirs whose files coincide in
+    # basename/size, must NOT validate a stale checkpoint
+    real = os.path.realpath(path)
+    st = os.stat(real)
+    return f"{real}:{st.st_size}:{st.st_mtime_ns}"
 
 
 def is_valid(ckpt_dir: str, fingerprint: str) -> bool:
