@@ -86,6 +86,8 @@ def run_bench() -> dict:
     timed("docs_exact_dedup", tr.docs_exact_dedup)
     timed("docs_minhash_pairs", tr.docs_minhash_pairs)
     timed("docs_token_stats", tr.docs_token_stats)
+    timed("docs_simhash", tr.docs_simhash)
+    timed("docs_quality", tr.docs_quality)
     timed("ann_topk", tr.ann_topk)
     timed("vecs_near_dup_lsh", tr.vecs_near_dup_lsh)
     timed("events_sessionize", tr.events_sessionize)

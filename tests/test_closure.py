@@ -71,3 +71,19 @@ def test_reference_golden_counts():
     got = closure_pandas(pd.DataFrame(edges, columns=["parent", "child"]))
     # root→3 mids + 9 leaves, each mid→3 leaves: 12 + 9 = 21 pairs
     assert len(got) == 21
+
+
+def test_depth_topk_distributed_matches_driver(ray_session, monkeypatch):
+    """Past DRIVER_LIMIT, kg_depth_topk's distributed BFS must equal the
+    driver BFS (forced by shrinking the limit to 0)."""
+    import pandas as pd
+
+    from xlsx_to_graphdb_ray.pipelines import queries as q
+    from xlsx_to_graphdb_ray.stages import closure
+
+    sf = "/root/testdata/sf0.001"
+    driver = q.kg_depth_topk(sf).to_pandas()
+    monkeypatch.setattr(closure, "DRIVER_LIMIT", 0)
+    dist = q.kg_depth_topk(sf).to_pandas()
+    pd.testing.assert_frame_equal(
+        driver.reset_index(drop=True), dist.reset_index(drop=True))

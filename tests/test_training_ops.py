@@ -68,6 +68,28 @@ def test_embedding_near_dup_lsh_recall(ray_session):
     assert len(lset & planted) / len(planted) >= 0.8  # documented recall<1
 
 
+def test_lsh_adapts_to_corpus_dim(ray_session):
+    # non-64-dim corpus: hyperplane dim must come from the data, not a
+    # hardcode; planted near-identical pairs at dim 16 must be recovered
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append({"vec_id": 2 * i, "embedding": v.tolist()})
+        rows.append({"vec_id": 2 * i + 1,
+                     "embedding": (v + rng.normal(scale=1e-3, size=16))
+                     .tolist()})
+    vecs = ray.data.from_items(rows)
+    exact = ann.exact_near_dup_pairs(vecs).to_pandas()
+    lsh = ann.cosine_near_dup_pairs(vecs).to_pandas()
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    eset = set(zip(exact["vec_a"], exact["vec_b"]))
+    lset = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    assert planted <= eset
+    assert lset <= eset
+    assert len(lset & planted) / len(planted) >= 0.95
+
+
 def test_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         multimodal.DecodeStub(fake=False)

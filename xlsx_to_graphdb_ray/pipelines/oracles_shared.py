@@ -302,6 +302,26 @@ def mm_oracles(sf_dir: str) -> dict[str, str]:
             SELECT media_id, kind, octet_length(data) AS n_bytes,
                    md5(hex(data)) AS checksum
             FROM read_parquet('{p["media"]}')""",
+        "mm_entropy": f"""
+            WITH bytes AS (
+              SELECT media_id,
+                     unnest([substring(hex(data), 2*i-1, 2)
+                             for i in range(1, octet_length(data) + 1)])
+                         AS byte
+              FROM read_parquet('{p["media"]}')
+              WHERE octet_length(data) > 0),
+            hist AS (
+              SELECT media_id, byte, count(*) AS c
+              FROM bytes GROUP BY media_id, byte),
+            tot AS (SELECT media_id, sum(c) AS n FROM hist GROUP BY media_id),
+            e AS (
+              SELECT h.media_id,
+                     round(-sum((h.c / t.n) * log2(h.c / t.n)), 6) AS entropy
+              FROM hist h JOIN tot t ON t.media_id = h.media_id
+              GROUP BY h.media_id)
+            SELECT m.media_id, coalesce(e.entropy, 0.0) AS entropy
+            FROM read_parquet('{p["media"]}') m
+            LEFT JOIN e ON e.media_id = m.media_id""",
     }
 
 

@@ -117,28 +117,79 @@ def kg_twin_pairs(sf_dir: str):
 def kg_depth_topk(sf_dir: str, max_hops: int = 4, k: int = 5):
     """A4 deepest-chain verification query (ref
     verify_snowmobile_graph.py:145-160, :224-236): per ancestor, the longest
-    hasComponent path within ≤``max_hops``; top-``k`` by (depth desc, anc)."""
-    edges = _canonical_component_edges(sf_dir) \
-        .select_columns(["parent", "child"]).to_pandas().drop_duplicates()
-    # bounded-hop BFS with depth tracking (driver: derived edge list)
-    # longest-walk-within-max_hops: distinct (anc, node) per hop count
-    # (matches the recursive-CTE oracle's UNION-distinct semantics)
-    frontier = edges.rename(columns={"parent": "anc", "child": "node"}) \
-        .drop_duplicates()
-    frontier["depth"] = 1
-    best = frontier[["anc", "depth"]]
-    for d in range(2, max_hops + 1):
-        step = frontier.merge(edges, left_on="node", right_on="parent")
-        step = step[["anc", "child"]].rename(columns={"child": "node"}) \
+    hasComponent path within ≤``max_hops``; top-``k`` by (depth desc, anc).
+
+    Auto-dispatch like ``transitive_closure``: below ``closure.DRIVER_LIMIT``
+    edges the (derived, small) edge list is pulled once and BFS'd with
+    vectorized pandas; past it, a distributed bounded-hop BFS (hash joins +
+    grouped max) runs without any full driver collect.
+    """
+    from ..stages import closure
+
+    edges_ds = _canonical_component_edges(sf_dir) \
+        .select_columns(["parent", "child"])
+    try:
+        edges = edges_ds.to_pandas(limit=closure.DRIVER_LIMIT) \
             .drop_duplicates()
-        step["depth"] = d
-        if step.empty:
+    except ValueError:
+        edges = None
+
+    if edges is not None:
+        # bounded-hop BFS with depth tracking (driver: derived edge list)
+        # longest-walk-within-max_hops: distinct (anc, node) per hop count
+        # (matches the recursive-CTE oracle's UNION-distinct semantics)
+        frontier = edges.rename(columns={"parent": "anc", "child": "node"}) \
+            .drop_duplicates()
+        frontier["depth"] = 1
+        best = frontier[["anc", "depth"]]
+        for d in range(2, max_hops + 1):
+            step = frontier.merge(edges, left_on="node", right_on="parent")
+            step = step[["anc", "child"]].rename(columns={"child": "node"}) \
+                .drop_duplicates()
+            step["depth"] = d
+            if step.empty:
+                break
+            best = pd.concat([best, step[["anc", "depth"]]],
+                             ignore_index=True)
+            frontier = step
+        out = best.groupby("anc", as_index=False)["depth"].max() \
+            .sort_values(["depth", "anc"], ascending=[False, True]).head(k) \
+            .reset_index(drop=True)
+        return ray.data.from_pandas(out)
+
+    # distributed bounded-hop BFS: per hop, frontier ⋈ edges (bucketed hash
+    # join) → distinct; per-anc max depth via pre-combined grouped agg; only
+    # the k-row result reaches the driver
+    from ..stages.joins import hash_join
+    from ..stages.shuffle import grouped_agg, grouped_distinct
+
+    base = grouped_distinct(edges_ds, ["parent", "child"]).materialize()
+    frontier = base.map_batches(
+        lambda b: pd.DataFrame({"anc": b["parent"], "node": b["child"]})
+        .drop_duplicates(), batch_format="pandas").materialize()
+    depth_parts = [frontier.map_batches(
+        lambda b: pd.DataFrame({"anc": b["anc"], "depth": 1}),
+        batch_format="pandas")]
+    for d in range(2, max_hops + 1):
+        step = hash_join(frontier, base, on=["node"], right_on=["parent"]
+                         ).map_batches(
+            lambda b: pd.DataFrame({"anc": b["anc"], "node": b["child"]}),
+            batch_format="pandas")
+        step = grouped_distinct(step, ["anc", "node"]).materialize()
+        if step.count() == 0:
             break
-        best = pd.concat([best, step[["anc", "depth"]]], ignore_index=True)
+        depth_parts.append(step.map_batches(
+            lambda b, d=d: pd.DataFrame({"anc": b["anc"], "depth": d}),
+            batch_format="pandas"))
         frontier = step
-    out = best.groupby("anc", as_index=False)["depth"].max() \
-        .sort_values(["depth", "anc"], ascending=[False, True]).head(k) \
-        .reset_index(drop=True)
+    all_depths = depth_parts[0]
+    for p in depth_parts[1:]:
+        all_depths = all_depths.union(p)
+    per_anc = grouped_agg(all_depths, ["anc"],
+                          [("depth", "depth", "max")], n_buckets=16)
+    out = per_anc.sort(["depth", "anc"], descending=[True, False]).limit(k) \
+        .to_pandas().reset_index(drop=True)
+    out["depth"] = out["depth"].astype("int64")
     return ray.data.from_pandas(out)
 
 

@@ -88,12 +88,19 @@ def exact_near_dup_pairs(vec_ds, tau: float = 0.95, block_rows: int = 4096):
     independent matmul tasks — compute is quadratic (it's exact), but
     distributed and memory-bounded by ``block_rows``."""
 
-    block_refs = []
-    for b in vec_ds.iter_batches(batch_size=block_rows,
-                                 batch_format="pandas"):
+    # snapshot normalized blocks from WORKER tasks: each map task ray.puts
+    # its own (ids, matrix) block into the object store and returns only the
+    # tiny ObjectRef — the corpus never transits the driver process; only
+    # O(n_blocks) refs do
+    def put_block(b: pd.DataFrame) -> pd.DataFrame:
         ids = b["vec_id"].to_numpy()
         m = _normalize(_mat(b["embedding"]))
-        block_refs.append(ray.put((ids, m)))
+        return pd.DataFrame({"block_ref": [ray.put((ids, m))]})
+
+    block_refs = [
+        r["block_ref"]
+        for r in vec_ds.map_batches(put_block, batch_format="pandas",
+                                    batch_size=block_rows).take_all()]
 
     grid = [{"i": i, "j": j} for i in range(len(block_refs))
             for j in range(i, len(block_refs))]
@@ -124,9 +131,18 @@ def exact_near_dup_pairs(vec_ds, tau: float = 0.95, block_rows: int = 4096):
         batch_size=4, batch_format="pandas")
 
 
+_PLANE_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 1234) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.normal(size=(dim, n_planes))
+    """Seeded-deterministic hyperplanes, cached per (dim, n_planes, seed) —
+    identical in every task that asks for the same shape, so they need no
+    broadcast and adapt to whatever embedding dim the corpus actually has."""
+    key = (dim, n_planes, seed)
+    if key not in _PLANE_CACHE:
+        rng = np.random.default_rng(seed)
+        _PLANE_CACHE[key] = rng.normal(size=(dim, n_planes))
+    return _PLANE_CACHE[key]
 
 
 def lsh_bucket_ids(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -143,12 +159,11 @@ def cosine_near_dup_pairs(vec_ds, tau: float = 0.95, n_planes: int = 8):
     exact verification inside each bucket. Scale: each bucket holds ~N/2^b
     vectors, verified with one local matmul.
     """
-    planes = _hyperplanes(64, n_planes)
-    p_ref = ray.put(planes)
-
-    def assign(b: pd.DataFrame, *, p_ref) -> pd.DataFrame:
-        pl = ray.get(p_ref) if isinstance(p_ref, ray.ObjectRef) else p_ref
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
         m = _normalize(_mat(b["embedding"]))
+        # dim taken from the data; seeded generation is deterministic across
+        # tasks, so no broadcast is needed (planes are dim x n_planes, tiny)
+        pl = _hyperplanes(m.shape[1], n_planes)
         return pd.DataFrame({
             "bucket_id": lsh_bucket_ids(m, pl),
             "vec_id": b["vec_id"].values,
@@ -170,6 +185,5 @@ def cosine_near_dup_pairs(vec_ds, tau: float = 0.95, n_planes: int = 8):
                 out.append((ids[i], ids[j], round(float(s), 6)))
         return pd.DataFrame(out, columns=["vec_a", "vec_b", "sim"])
 
-    assigned = vec_ds.map_batches(assign, fn_kwargs={"p_ref": p_ref},
-                                  batch_format="pandas")
+    assigned = vec_ds.map_batches(assign, batch_format="pandas")
     return bucketed_map_groups(assigned, ["bucket_id"], verify, n_buckets=16)

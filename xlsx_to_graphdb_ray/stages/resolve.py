@@ -275,18 +275,35 @@ def strict_gate(resolved_ds) -> dict:
     """Count statuses; raise like the reference's strict mode if any
     unknown/ambiguous mention or relation endpoint exists.
 
-    Returns the status counts dict when clean.
+    Returns the status counts dict when clean. The count is a distributed
+    pre-combined aggregate (per-batch ``value_counts`` partials → tiny
+    grouped sum); only the ≤3-row status table reaches the driver — no
+    driver-side iteration over the event stream.
     """
+    import pyarrow as pa
     import pyarrow.compute as pc
 
-    counts: dict[str, int] = {s: 0 for s in STATUSES}
-    for b in resolved_ds.select_columns(["kind", "a_status", "b_status"]) \
-                        .iter_batches(batch_format="pyarrow", batch_size=65536):
+    from .shuffle import grouped_agg
+
+    def partial(b: pa.Table) -> pa.Table:
+        statuses: list[str] = []
+        ns: list[int] = []
         for col in ("a_status", "b_status"):
-            vc = pc.value_counts(b[col])
-            for item in vc.to_pylist():
-                if item["values"] in counts:
-                    counts[item["values"]] += item["counts"]
+            for item in pc.value_counts(b[col]).to_pylist():
+                if item["values"] is not None:
+                    statuses.append(item["values"])
+                    ns.append(item["counts"])
+        return pa.table({"status": pa.array(statuses, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    agg = grouped_agg(
+        resolved_ds.select_columns(["a_status", "b_status"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["status"], [("n", "n", "sum")], small_result=True)
+    counts: dict[str, int] = {s: 0 for s in STATUSES}
+    for row in agg.take_all():
+        if row["status"] in counts:
+            counts[row["status"]] += int(row["n"])
     bad = counts["unknown"] + counts["ambiguous"]
     if bad:
         raise RuntimeError(

@@ -56,21 +56,37 @@ def quality_scores(docs_ds):
     stopword heuristics; quality = 1 if 20 ≤ n_tokens ≤ 1000 and
     stop_ratio ≤ 0.5 else 0. Ratios rounded to 6 dp (oracle parity)."""
 
-    def score(b: pd.DataFrame) -> pd.DataFrame:
-        toks = b["text"].fillna("").str.split(" ")
-        n = toks.str.len().clip(lower=1)
-        stops = toks.map(lambda ts: sum(t in STOPWORDS for t in ts))
-        tok_chars = toks.map(lambda ts: sum(len(t) for t in ts))
-        stop_ratio = (stops / n).round(6)
-        mean_len = (tok_chars / n).round(6)
-        quality = ((toks.str.len() >= 20) & (toks.str.len() <= 1000)
-                   & (stop_ratio <= 0.5)).astype("int64")
-        return pd.DataFrame({"doc_id": b["doc_id"],
-                             "stop_ratio": stop_ratio,
-                             "mean_token_len": mean_len,
-                             "quality": quality})
+    import numpy as np
 
-    return docs_ds.map_batches(score, batch_format="pandas")
+    stop_set = pa.array(STOPWORDS)
+
+    def score(b: pa.Table) -> pa.Table:
+        text = pc.fill_null(b["text"], "")
+        toks = pc.split_pattern(text, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        nt = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        n = np.maximum(nt, 1)
+        # single-space split ⇒ sum(len(token)) == len(text) - (n_tokens - 1)
+        tok_chars = pc.utf8_length(text).to_numpy().astype(np.int64) - (nt - 1)
+        # stopword hits: one is_in over the flattened tokens, then a
+        # per-row segment sum via reduceat on the list offsets
+        flat = toks.flatten()
+        hits = pc.is_in(flat, value_set=stop_set).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        offsets = toks.offsets.to_numpy()[:-1].astype(np.int64)
+        stops = np.add.reduceat(hits, offsets) if len(hits) else \
+            np.zeros(len(nt), dtype=np.int64)
+        stop_ratio = np.round(stops / n, 6)
+        mean_len = np.round(tok_chars / n, 6)
+        quality = ((nt >= 20) & (nt <= 1000)
+                   & (stop_ratio <= 0.5)).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "stop_ratio": pa.array(stop_ratio),
+                         "mean_token_len": pa.array(mean_len),
+                         "quality": pa.array(quality)})
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
 
 
 def lang_id(docs_ds):
@@ -79,22 +95,39 @@ def lang_id(docs_ds):
     language name (deterministic, oracle-matched)."""
     langs = sorted(LANG_MARKERS)
 
-    def pred(b: pd.DataFrame) -> pd.DataFrame:
-        toksets = b["text"].fillna("").str.split(" ").map(set)
-        counts = {
-            lang: toksets.map(
-                lambda ts, ms=LANG_MARKERS[lang]: sum(m in ts for m in ms))
-            for lang in langs
-        }
-        df = pd.DataFrame(counts)
-        best = df.max(axis=1)
-        # first language (alphabetical) achieving the max; 'und' if zero
-        pick = df.eq(best, axis=0).idxmax(axis=1)
-        pick[best == 0] = "und"
-        return pd.DataFrame({"doc_id": b["doc_id"].values,
-                             "lang_pred": pick.values})
+    import numpy as np
 
-    return docs_ds.map_batches(pred, batch_format="pandas")
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    marker_set = pa.array(all_markers)
+
+    def pred(b: pa.Table) -> pa.Table:
+        text = pc.fill_null(b["text"], "")
+        toks = pc.split_pattern(text, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_rows = len(toks)
+        # flatten once; only MARKER tokens survive the filter, so the
+        # per-row distinct work below runs on a tiny fraction of the corpus
+        flat = toks.flatten()
+        lengths = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
+        mask = pc.is_in(flat, value_set=marker_set)
+        hit_rows = row_idx[mask.to_numpy(zero_copy_only=False)]
+        hit_toks = flat.filter(mask).to_pylist()
+        hits = pd.DataFrame({"row": hit_rows, "tok": hit_toks}) \
+            .drop_duplicates()                      # marker present = 1 hit
+        counts = np.zeros((n_rows, len(langs)), dtype=np.int64)
+        for li, lang in enumerate(langs):
+            in_lang = hits["tok"].isin(LANG_MARKERS[lang])
+            np.add.at(counts[:, li], hits.loc[in_lang, "row"].to_numpy(), 1)
+        best = counts.max(axis=1)
+        # first language (alphabetical) achieving the max; 'und' if zero
+        pick = np.asarray(langs, dtype=object)[counts.argmax(axis=1)]
+        pick[best == 0] = "und"
+        return pa.table({"doc_id": b["doc_id"],
+                         "lang_pred": pa.array(pick, pa.string())})
+
+    return docs_ds.map_batches(pred, batch_format="pyarrow")
 
 
 def fingerprints(docs_ds, w: int = FINGERPRINT_W):
