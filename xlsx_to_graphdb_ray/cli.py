@@ -29,6 +29,8 @@ def main(argv=None) -> int:
     ap.add_argument("--no-dedup", action="store_true")
     ap.add_argument("--flat-partitions", action="store_true",
                     help="single dir instead of pred-partitioned layout")
+    ap.add_argument("--ntriples-out", default=None,
+                    help="also emit RDF N-Triples part files to this dir")
     args = ap.parse_args(argv)
 
     import ray
@@ -49,6 +51,7 @@ def main(argv=None) -> int:
         dump_dictionary=args.dump_name_index,
         add_edge_labels=args.add_edge_labels,
         partition_by_pred=not args.flat_partitions,
+        ntriples_out=args.ntriples_out,
     )
     stats = run_pipeline(cfg)
     print(json.dumps(stats, default=str))

@@ -30,6 +30,7 @@ class PipelineConfig:
     dump_dictionary: bool = False       # name-index dump (ref :1252-1259)
     add_edge_labels: bool = False       # F7 static predicate labels
     partition_by_pred: bool = True      # K1 sink layout
+    ntriples_out: str | None = None     # RDF N-Triples sink dir (K1 analogue)
     extra_stages: list[str] = field(default_factory=list)
 
 
@@ -111,6 +112,10 @@ def run_pipeline(cfg: PipelineConfig) -> dict:
                 lambda t: t, batch_format="pyarrow"))
     for name in cfg.extra_stages:
         triples = STAGE_REGISTRY[name](triples)
+
+    if cfg.ntriples_out:
+        from .sinks.ntriples import write_ntriples
+        stats["ntriples_out"] = write_ntriples(triples, cfg.ntriples_out)
 
     if cfg.out_dir:
         if cfg.partition_by_pred:

@@ -325,6 +325,38 @@ def mm_oracles(sf_dir: str) -> dict[str, str]:
     }
 
 
+def temporal_oracles(sf_dir: str) -> dict[str, str]:
+    p = synth.ensure_synth(sf_dir)
+    return {
+        "vers_latest": f"""
+            WITH v AS (
+              SELECT *, row_number() OVER (PARTITION BY entity_id
+                                           ORDER BY version DESC,
+                                                    iteration DESC) AS rk
+              FROM read_parquet('{p["versions"]}'))
+            SELECT entity_id, version, iteration, full_id, state,
+                   created_date, rk = 1 AS is_latest
+            FROM v""",
+        "vers_evolves_to": f"""
+            WITH v AS (SELECT * FROM read_parquet('{p["versions"]}')),
+            heads AS (
+              SELECT entity_id, version, full_id AS head_id,
+                     row_number() OVER (PARTITION BY entity_id, version
+                                        ORDER BY iteration) AS rk
+              FROM v),
+            h1 AS (SELECT entity_id, version, head_id FROM heads
+                   WHERE rk = 1),
+            nx AS (SELECT entity_id, version,
+                          lead(head_id) OVER (PARTITION BY entity_id
+                                              ORDER BY version) AS next_head
+                   FROM h1)
+            SELECT v.full_id AS from_id, nx.next_head AS to_id
+            FROM v JOIN nx ON nx.entity_id = v.entity_id
+                          AND nx.version = v.version
+            WHERE nx.next_head IS NOT NULL""",
+    }
+
+
 def shared_oracles(sf_dir: str) -> dict[str, str]:
     out = {}
     out.update(relational_oracles())
@@ -335,4 +367,5 @@ def shared_oracles(sf_dir: str) -> dict[str, str]:
     out.update(mm_oracles(sf_dir))
     out.update(changes_oracles(sf_dir))
     out.update(events_extra_oracles())
+    out.update(temporal_oracles(sf_dir))
     return out

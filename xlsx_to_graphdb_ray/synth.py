@@ -81,7 +81,7 @@ REVISIONS = ["A", "B", "C", "D"]
 TS_BASE_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in microseconds
 
 DATA_ROOT = "/tmp/graft_data"
-SYNTH_VERSION = "4"  # bump on any generator change → new cache dir
+SYNTH_VERSION = "5"  # bump on any generator change → new cache dir
 
 
 def n_entities_for(sf: float) -> int:
@@ -384,6 +384,59 @@ def make_changes(sf: float) -> pa.Table:
     })
 
 
+VERSION_STATES = ["INWORK", "UNDERREVIEW", "RELEASED"]
+
+
+def make_versions(sf: float) -> pa.Table:
+    """Deterministic entity version/iteration history (the reference's
+    temporal import path: ``scripts/import_temporal_history.py:92-129`` and
+    ``scripts/windchill_odata_temporal_import.py:228-247`` — one row per
+    (entity, version, iteration) with a ``full_id`` of
+    ``{entity}.{version}.{iteration}``, a lifecycle state and a
+    per-entity-monotone created date). 1–4 versions per entity, 1–3
+    iterations per version."""
+    n_ent = n_entities_for(sf)
+    k = np.arange(n_ent, dtype=np.uint64)
+    h = mix2(k, np.full(n_ent, 77, dtype=np.uint64))
+    n_vers = (1 + h % np.uint64(4)).astype(np.int64)
+
+    ent_of_ver = np.repeat(np.arange(n_ent, dtype=np.int64), n_vers)
+    ver_starts = np.concatenate([[0], np.cumsum(n_vers)[:-1]])
+    ver_idx = np.arange(len(ent_of_ver)) - np.repeat(ver_starts, n_vers)
+
+    hv = mix2(ent_of_ver.astype(np.uint64),
+              (ver_idx + 500).astype(np.uint64))
+    n_iter = (1 + hv % np.uint64(3)).astype(np.int64)
+
+    row_ent = np.repeat(ent_of_ver, n_iter)
+    row_ver = np.repeat(ver_idx, n_iter)
+    it_starts = np.concatenate([[0], np.cumsum(n_iter)[:-1]])
+    row_it = np.arange(len(row_ent)) - np.repeat(it_starts, n_iter) + 1
+
+    # per-entity row sequence → monotone created timestamps within an entity
+    per_ent_rows = np.bincount(row_ent, minlength=n_ent)
+    ent_row_starts = np.concatenate([[0], np.cumsum(per_ent_rows)[:-1]])
+    seq = np.arange(len(row_ent)) - ent_row_starts[row_ent]
+    created = TS_BASE_US + (row_ent * 31 + seq) * 3_600_000_000
+
+    eids = [f"P{e:07d}" for e in row_ent]
+    vers = [chr(65 + int(v)) for v in row_ver]
+    full = [f"{e}.{v}.{i}" for e, v, i in zip(eids, vers, row_it)]
+    hr = mix2(row_ent.astype(np.uint64),
+              (row_ver * 7 + row_it).astype(np.uint64))
+    return pa.table({
+        "entity_id": pa.array(eids, pa.string()),
+        "version": pa.array(vers, pa.string()),
+        "iteration": pa.array(row_it.astype(np.int32)),
+        "full_id": pa.array(full, pa.string()),
+        "state": pa.array([VERSION_STATES[int(x) % 3] for x in hr],
+                          pa.string()),
+        "modifier": pa.array([f"user{int(x) % 20}" for x in hr >> np.uint64(8)],
+                             pa.string()),
+        "created_date": pa.array(created).cast(pa.timestamp("us")),
+    })
+
+
 def make_media(sf: float) -> pa.Table:
     """Deterministic fake binary media table (images + audio) for the
     multimodal plumbing stages: payload bytes derive from splitmix64, so
@@ -445,6 +498,7 @@ def ensure_synth(sf_dir: str) -> dict[str, str]:
              "vecs": os.path.join(out, "vecs_dup.parquet"),
              "media": os.path.join(out, "media.parquet"),
              "changes": os.path.join(out, "changes.parquet"),
+             "versions": os.path.join(out, "versions.parquet"),
              "dir": out}
     os.makedirs(out, exist_ok=True)
     makers = {"entities": lambda: make_entities(sf),
@@ -452,7 +506,8 @@ def ensure_synth(sf_dir: str) -> dict[str, str]:
               "docs": lambda: make_docs(sf),
               "vecs": lambda: make_vecs(sf),
               "media": lambda: make_media(sf),
-              "changes": lambda: make_changes(sf)}
+              "changes": lambda: make_changes(sf),
+              "versions": lambda: make_versions(sf)}
     for key, maker in makers.items():
         if not os.path.exists(paths[key]):
             tmp = paths[key] + f".tmp.{os.getpid()}"
