@@ -58,22 +58,84 @@ def exact_dedup(docs_ds):
                         ("n_copies", None, "count")], n_buckets=16)
 
 
+# per-shingle seeded md5s memoized per worker (near-dup corpora repeat
+# shingles heavily — a cache hit replaces K md5 calls), stored as two
+# uint64 halves so the per-doc minimum is numeric, not string compares
+_SHINGLE_HASH_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+_SHINGLE_HASH_CACHE_MAX = 2_000_000
+
+
+def _shingle_hash_matrix(uniq, k: int) -> tuple[np.ndarray, np.ndarray]:
+    cache = _SHINGLE_HASH_CACHE
+    if len(cache) > _SHINGLE_HASH_CACHE_MAX:
+        cache.clear()
+    hi = np.empty((len(uniq), k), dtype=np.uint64)
+    lo = np.empty((len(uniq), k), dtype=np.uint64)
+    md5 = hashlib.md5
+    get = cache.get
+    miss: list[int] = []
+    for r, s in enumerate(uniq):
+        v = get(s)
+        if v is None:
+            miss.append(r)
+        else:
+            hi[r], lo[r] = v
+    if miss:
+        # one contiguous digest buffer for all misses, decoded in a single
+        # frombuffer pass (md5 digest bytes ≡ big-endian u64 pair)
+        parts: list[bytes] = []
+        for r in miss:
+            s = uniq[r]
+            parts.extend(md5(f"{i}|{s}".encode("utf-8")).digest()
+                         for i in range(k))
+        arr = np.frombuffer(b"".join(parts), dtype=">u8") \
+            .reshape(len(miss), k, 2).astype(np.uint64)
+        mi = np.asarray(miss, dtype=np.int64)
+        hi[mi] = arr[:, :, 0]
+        lo[mi] = arr[:, :, 1]
+        for j, r in enumerate(miss):
+            cache[uniq[r]] = (arr[j, :, 0], arr[j, :, 1])
+    return hi, lo
+
+
 def minhash_signatures(b: pd.DataFrame, k: int = K_HASHES) -> pd.DataFrame:
     """Per-doc MinHash signature: sig[i] = min over shingles of
     md5(f"{i}|{shingle}") — a fixed-width hex string; its min is the min of
-    the underlying 128-bit hash. Plus the shingle list for later verify."""
-    sigs: list[list[str]] = []
-    shl: list[list[str]] = []
-    for t in b["text"]:
-        sh = shingles(t)
-        shl.append(sh)
-        if not sh:
-            sigs.append(["z" * 32] * k)
-            continue
-        sigs.append([min(_md5(f"{i}|{s}") for s in sh) for i in range(k)])
+    the underlying 128-bit integer, so the reduction runs as two numeric
+    ``np.minimum.reduceat`` passes (hi words, then lo words among the hi
+    minima) over the exploded shingle matrix. One md5 set per *unique*
+    shingle, memoized across batches. Plus the shingle list for verify."""
+    sh_lists = [shingles(t) for t in b["text"]]
+    counts = np.fromiter((len(x) for x in sh_lists), dtype=np.int64,
+                         count=len(sh_lists))
+    sigs: list[list[str]] = [["z" * 32] * k for _ in sh_lists]
+    if counts.sum() > 0:
+        flat = np.asarray([s for sl in sh_lists for s in sl], dtype=object)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        uhi, ulo = _shingle_hash_matrix(uniq, k)
+        hi, lo = uhi[inv], ulo[inv]                     # (total, k)
+        nz = counts > 0
+        nz_counts = counts[nz]
+        offsets = np.zeros(len(nz_counts), dtype=np.int64)
+        np.cumsum(nz_counts[:-1], out=offsets[1:])
+        min_hi = np.minimum.reduceat(hi, offsets, axis=0)
+        hi_exp = np.repeat(min_hi, nz_counts, axis=0)
+        lo_m = np.where(hi == hi_exp, lo,
+                        np.uint64(0xFFFFFFFFFFFFFFFF))
+        min_lo = np.minimum.reduceat(lo_m, offsets, axis=0)
+        # hex all signatures in ONE pass (numpy-scalar f-string formatting
+        # is ~60µs each; bytes.hex of the packed big-endian buffer is not)
+        packed = np.empty((len(min_hi), k, 2), dtype=">u8")
+        packed[:, :, 0] = min_hi
+        packed[:, :, 1] = min_lo
+        hexes = packed.tobytes().hex()
+        for r, d in enumerate(np.flatnonzero(nz)):
+            base = r * k * 32
+            sigs[d] = [hexes[base + i * 32: base + (i + 1) * 32]
+                       for i in range(k)]
     out = pd.DataFrame({"doc_id": b["doc_id"].values})
     out["sig"] = sigs
-    out["shingles"] = shl
+    out["shingles"] = sh_lists
     return out
 
 

@@ -81,7 +81,7 @@ REVISIONS = ["A", "B", "C", "D"]
 TS_BASE_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in microseconds
 
 DATA_ROOT = "/tmp/graft_data"
-SYNTH_VERSION = "5"  # bump on any generator change → new cache dir
+SYNTH_VERSION = "6"  # bump on any generator change → new cache dir
 
 
 def n_entities_for(sf: float) -> int:
@@ -511,6 +511,11 @@ def ensure_synth(sf_dir: str) -> dict[str, str]:
     for key, maker in makers.items():
         if not os.path.exists(paths[key]):
             tmp = paths[key] + f".tmp.{os.getpid()}"
-            pq.write_table(maker(), tmp, row_group_size=65536)
+            # small row groups so read_parquet's override_num_blocks can
+            # actually split small side tables into parallel blocks (Ray
+            # cannot split below row-group granularity — a 5k-row table in
+            # one 64k row group reads as ONE block and serializes the
+            # per-batch work downstream)
+            pq.write_table(maker(), tmp, row_group_size=4096)
             os.replace(tmp, paths[key])
     return paths
