@@ -111,6 +111,25 @@ def run_bench() -> dict:
     return out
 
 
+SHARED_TABLES = ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def _ensure_scale_dir(scale_dir: str,
+                      template: str = "/root/testdata/sf0.1") -> None:
+    """The scaling tier's synthetic inputs (turns/entities/side corpora)
+    are generated on demand, but the driver-shared tables only exist at
+    the testdata tiers — symlink them in so the warm side queries run.
+    (The scaling METRIC is the flagship turns pipeline at the scale tier;
+    the side queries are fixed-size either way.)"""
+    os.makedirs(scale_dir, exist_ok=True)
+    for t in SHARED_TABLES:
+        dst = os.path.join(scale_dir, f"{t}.parquet")
+        src = os.path.join(template, f"{t}.parquet")
+        if not os.path.exists(dst) and os.path.exists(src):
+            os.symlink(src, dst)
+
+
 def run_scaling() -> dict:
     """Same job, fresh processes, N vs 4N CPUs (default 2 vs 8) → efficiency.
 
@@ -122,6 +141,7 @@ def run_scaling() -> dict:
     4N leg isn't throttled by the sandbox's real core budget.
     """
     scale_dir = os.environ.get("GRAFT_SCALING_SF_DIR", "/tmp/graft_scale/sf2")
+    _ensure_scale_dir(scale_dir)
     lo = int(os.environ.get("GRAFT_SCALING_CPUS_LO", "2"))
     hi = lo * 4  # the N vs 4N protocol
     results = {}

@@ -68,6 +68,24 @@ def test_embedding_near_dup_lsh_recall(ray_session):
     assert len(lset & planted) / len(planted) >= 0.8  # documented recall<1
 
 
+def test_ivf_topk_recall_vs_exact(ray_session):
+    """IVF approximate top-k must recover ≥0.9 of the exact top-10 on the
+    clustered embeddings corpus (recall<1 by design, documented)."""
+    vecs = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+    qids = [0, 1, 2]
+    exact = ann.brute_force_topk(vecs, qids).to_pandas()
+    approx = ann.ivf_topk(vecs, qids).to_pandas()
+    hits = total = 0
+    for q in qids:
+        e = set(exact.loc[exact["query_id"] == q, "vec_id"])
+        a = set(approx.loc[approx["query_id"] == q, "vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert total > 0
+    assert hits / total >= 0.9, f"IVF recall {hits / total}"
+
+
 def test_lsh_adapts_to_corpus_dim(ray_session):
     # non-64-dim corpus: hyperplane dim must come from the data, not a
     # hardcode; planted near-identical pairs at dim 16 must be recovered

@@ -33,8 +33,8 @@ MAX_TEXT_MATCHES = 5   # ref ingest_changes.py:144 matched[:5]
 
 def _changes(sf_dir: str):
     tune_context()
-    return ray.data.read_parquet(synth.ensure_synth(sf_dir)["changes"],
-                                 override_num_blocks=default_blocks())
+    from ..state.checkpoint import read_parquet_auto
+    return read_parquet_auto(synth.ensure_synth(sf_dir)["changes"])
 
 
 def changes_by_type(sf_dir: str):

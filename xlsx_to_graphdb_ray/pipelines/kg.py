@@ -103,15 +103,14 @@ def resolved_events(sf_dir: str) -> ray.data.Dataset:
     fp = _fingerprint(paths) + ("|part" if partitioned else "|bcast")
 
     def make():
-        from ..state.checkpoint import default_blocks
-        turns = ray.data.read_parquet(
-            paths["turns"], columns=["conv_id", "turn_idx", "text", "tool"],
-            override_num_blocks=default_blocks())
+        from ..state.checkpoint import read_parquet_auto
+        turns = read_parquet_auto(
+            paths["turns"], columns=["conv_id", "turn_idx", "text", "tool"])
         events = turns.map_batches(extract_events, batch_format="pyarrow")
         events = substitute_anaphora(events)
         if partitioned:
             from ..stages.resolve import resolve_events_partitioned
-            entities = ray.data.read_parquet(
+            entities = read_parquet_auto(
                 paths["entities"], columns=["entity_id", "name"])
             return resolve_events_partitioned(events, entities)
         lookups = build_lookup_dicts(paths["entities"])

@@ -84,8 +84,9 @@ def kg_pred_counts(sf_dir: str):
 def kg_topic_turns(sf_dir: str):
     """Keyword-predicate filter counts (M5 analogue): (topic, n)."""
     paths = synth.ensure_synth(sf_dir)
-    turns = ray.data.read_parquet(paths["turns"],
-                                  columns=["conv_id", "turn_idx", "text"])
+    from ..state.checkpoint import read_parquet_auto
+    turns = read_parquet_auto(paths["turns"],
+                              columns=["conv_id", "turn_idx", "text"])
     hits = turns.map_batches(
         lambda b: topic_turns(b, synth.TOPICS), batch_format="pyarrow")
     return grouped_agg(hits, ["topic"], [("n", None, "count")],
@@ -99,8 +100,8 @@ def kg_twin_pairs(sf_dir: str):
     from ..stages.shuffle import bucketed_map_groups
 
     paths = synth.ensure_synth(sf_dir)
-    ents = ray.data.read_parquet(paths["entities"],
-                                 columns=["entity_id", "name"])
+    from ..state.checkpoint import read_parquet_auto
+    ents = read_parquet_auto(paths["entities"], columns=["entity_id", "name"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -202,8 +203,8 @@ def kg_prefix_pairs(sf_dir: str):
     from ..stages.shuffle import bucketed_map_groups
 
     paths = synth.ensure_synth(sf_dir)
-    ents = ray.data.read_parquet(paths["entities"],
-                                 columns=["entity_id", "name"])
+    from ..state.checkpoint import read_parquet_auto
+    ents = read_parquet_auto(paths["entities"], columns=["entity_id", "name"])
 
     def blocks(b: pd.DataFrame) -> pd.DataFrame:
         toks = b["name"].str.split(" ")
@@ -283,7 +284,8 @@ def kg_tool_usage(sf_dir: str):
     import pyarrow.compute as pc
 
     paths = synth.ensure_synth(sf_dir)
-    turns = ray.data.read_parquet(paths["turns"], columns=["conv_id", "tool"])
+    from ..state.checkpoint import read_parquet_auto
+    turns = read_parquet_auto(paths["turns"], columns=["conv_id", "tool"])
     pairs = grouped_distinct(
         turns.map_batches(
             lambda t: t.filter(pc.is_valid(t["tool"])), batch_format="pyarrow"),

@@ -19,14 +19,13 @@ import ray.data
 
 from ..config import tune_context
 from ..stages.shuffle import grouped_agg, grouped_distinct
-from ..state.checkpoint import default_blocks
+from ..state.checkpoint import read_parquet_auto
 
 
 def _read(sf_dir: str, table: str, columns=None):
     tune_context()
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                                 columns=columns,
-                                 override_num_blocks=default_blocks())
+    return read_parquet_auto(os.path.join(sf_dir, f"{table}.parquet"),
+                             columns=columns)
 
 
 def pricing_summary(sf_dir: str):

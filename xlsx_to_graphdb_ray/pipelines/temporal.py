@@ -32,9 +32,8 @@ _N_BUCKETS = 16
 
 def _versions(sf_dir: str):
     paths = synth.ensure_synth(sf_dir)
-    from ..state.checkpoint import default_blocks
-    return ray.data.read_parquet(paths["versions"],
-                                 override_num_blocks=default_blocks())
+    from ..state.checkpoint import read_parquet_auto
+    return read_parquet_auto(paths["versions"])
 
 
 def versions_latest(sf_dir: str):

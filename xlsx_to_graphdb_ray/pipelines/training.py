@@ -23,8 +23,8 @@ ANN_QUERY_IDS = [0, 1, 2]
 
 def _read(path: str, columns=None):
     tune_context()
-    return ray.data.read_parquet(path, columns=columns,
-                                 override_num_blocks=default_blocks())
+    from ..state.checkpoint import read_parquet_auto
+    return read_parquet_auto(path, columns=columns)
 
 
 def _events(sf_dir: str):
@@ -106,6 +106,13 @@ def docs_fingerprint(sf_dir: str):
 
 def ann_topk(sf_dir: str):
     return ann.brute_force_topk(
+        _read(os.path.join(sf_dir, "embeddings.parquet"),
+              columns=["vec_id", "embedding"]),
+        ANN_QUERY_IDS)
+
+
+def ann_ivf_topk(sf_dir: str):
+    return ann.ivf_topk(
         _read(os.path.join(sf_dir, "embeddings.parquet"),
               columns=["vec_id", "embedding"]),
         ANN_QUERY_IDS)

