@@ -72,15 +72,19 @@ def _resolve_series(alias: pd.Series, name_to_ids: dict, id_map: dict,
 
     n = _norm_series(alias)
     nv = n.to_numpy(dtype=object, copy=False)
-    pos = la.name_idx.get_indexer(nv)
-    found = pos >= 0
-    safe = np.where(found, pos, 0)
-    n_cand = np.where(found, la.n_cand[safe], 0)
-    eid = np.where(found, la.single[safe], None)
+    if len(la.name_idx):
+        pos = la.name_idx.get_indexer(nv)
+        found = pos >= 0
+        safe = np.where(found, pos, 0)
+        n_cand = np.where(found, la.n_cand[safe], 0)
+        eid = np.where(found, la.single[safe], None)
+    else:
+        n_cand = np.zeros(len(nv), dtype=np.int64)
+        eid = np.full(len(nv), None, dtype=object)
     # number-fallback only where the name index had NO candidates
     fb = np.zeros(len(nv), dtype=bool)
     no_cand = n_cand == 0
-    if no_cand.any():
+    if no_cand.any() and len(la.id_idx):
         pos2 = la.id_idx.get_indexer(nv[no_cand])
         hit2 = pos2 >= 0
         if hit2.any():
