@@ -78,3 +78,44 @@ def test_ntriples_as_registered_sink_stage(ray_session, tmp_path):
         assert stats["n_triples"] == len(parsed) > 0
     finally:
         pcfg.STAGE_REGISTRY.pop("nt_sink", None)
+
+
+def test_serialize_rejects_nulls():
+    import pytest
+    t = pa.table({
+        "subj": ["urn:a", None],
+        "pred": ["urn:p", "urn:p"],
+        "obj": ["x", "y"],
+        "obj_lit": [True, True],
+    })
+    with pytest.raises(ValueError, match="null"):
+        serialize_batch(t)
+    t2 = pa.table({
+        "subj": ["urn:a"], "pred": ["urn:p"], "obj": ["x"],
+        "obj_lit": pa.array([None], pa.bool_()),
+    })
+    with pytest.raises(ValueError, match="obj_lit"):
+        serialize_batch(t2)
+
+
+def test_overwrite_clears_stale_parts(ray_session, tmp_path):
+    """A rerun yielding FEWER blocks must not leave stale part files mixed
+    into the output (mode='overwrite' contract)."""
+    import os
+    out = str(tmp_path / "nt")
+    big = ray.data.from_pandas(pd.DataFrame({
+        "subj": [f"urn:e:{i}" for i in range(40)],
+        "pred": ["urn:p"] * 40,
+        "obj": [f"v{i}" for i in range(40)],
+        "obj_lit": [True] * 40})).repartition(8)
+    write_ntriples(big, out)
+    n_parts_big = len([f for f in os.listdir(out) if f.endswith(".nt")])
+    small = ray.data.from_pandas(pd.DataFrame({
+        "subj": ["urn:e:0"], "pred": ["urn:p"], "obj": ["v0"],
+        "obj_lit": [True]}))
+    write_ntriples(small, out)                 # default mode='overwrite'
+    back = parse_ntriples(out).to_pandas()
+    assert len(back) == 1, "stale parts leaked into an overwrite rerun"
+    import pytest
+    with pytest.raises(ValueError):
+        write_ntriples(small, out, mode="replace")

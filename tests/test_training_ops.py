@@ -118,3 +118,81 @@ def test_decode_fake_pixel_means(ray_session):
     out = multimodal.decode_and_reduce(media, fake=True).to_pandas()
     assert len(out) == 20
     assert ((out["pixel_mean"] >= 0) & (out["pixel_mean"] <= 255)).all()
+
+
+def test_hot_group_pair_fanout_is_capped(ray_session):
+    """Blocking-join guard: an adversarial hot block (one band bucket /
+    name group far larger than anything organic) must emit a BOUNDED pair
+    count, not O(group²) of the raw group size."""
+    from xlsx_to_graphdb_ray.stages.shuffle import bucketed_map_groups
+
+    cap = dedup_docs.MAX_GROUP_MEMBERS
+    hot_n = cap + 300                     # one hot key past the cap
+    df = pd.DataFrame({"band_key": ["hot"] * hot_n + ["cold", "cold"],
+                       "doc_id": list(range(hot_n)) + [9001, 9002]})
+    ds = ray.data.from_pandas(df)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("band_key", sort=False):
+            if len(grp) < 2:
+                continue
+            ids = sorted(grp["doc_id"])[:dedup_docs.MAX_GROUP_MEMBERS]
+            out += [(ids[i], ids[j]) for i in range(len(ids))
+                    for j in range(i + 1, len(ids))]
+        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
+
+    pairs = bucketed_map_groups(ds, ["band_key"], bucket_pairs).to_pandas()
+    # hot group bounded at cap*(cap-1)/2 (not hot_n*(hot_n-1)/2), cold intact
+    assert len(pairs) == cap * (cap - 1) // 2 + 1
+    assert (9001, 9002) in set(zip(pairs["doc_a"], pairs["doc_b"]))
+
+
+def test_ivf_recall_with_id_correlated_clusters(ray_session):
+    """IVF training-sample hardening: ids are assigned IN CLUSTER ORDER
+    (id ranges == clusters), the failure mode for a first-N-ids sample —
+    the hash-filtered sample must still cover all clusters and keep
+    recall ≥ 0.9 vs brute force."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 32)) * 4
+    rows = []
+    vid = 0
+    for c in centers:                     # ids strictly ordered by cluster
+        for _ in range(60):
+            rows.append({"vec_id": vid,
+                         "embedding": (c + rng.normal(scale=0.1, size=32))
+                         .tolist()})
+            vid += 1
+    vecs = ray.data.from_items(rows)
+    qids = [5, 125, 245, 365, 475]        # one query per several clusters
+    exact = ann.brute_force_topk(vecs, qids).to_pandas()
+    # small train_sample forces real subsampling over the 480-row corpus
+    approx = ann.ivf_topk(vecs, qids, train_sample=96).to_pandas()
+    hits = total = 0
+    for q in qids:
+        e = set(exact.loc[exact["query_id"] == q, "vec_id"])
+        a = set(approx.loc[approx["query_id"] == q, "vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert total > 0
+    assert hits / total >= 0.9, f"IVF recall {hits / total}"
+
+
+def test_ivf_empty_corpus_raises(ray_session):
+    vecs = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                      "embedding": pd.Series([], dtype="object")}))
+    with pytest.raises(Exception):
+        ann.ivf_topk(vecs, [0])
+
+
+def test_ivf_nondense_ids(ray_session):
+    """ids starting far above train_sample (the round-2 sample filter
+    ``vec_id < train_sample`` would yield an EMPTY sample) must still
+    train a codebook and return results."""
+    rng = np.random.default_rng(13)
+    rows = [{"vec_id": 1_000_000 + i,
+             "embedding": rng.normal(size=16).tolist()} for i in range(50)]
+    vecs = ray.data.from_items(rows)
+    out = ann.ivf_topk(vecs, [1_000_000], k=5).to_pandas()
+    assert len(out) == 5

@@ -103,10 +103,15 @@ def kg_twin_pairs(sf_dir: str):
     from ..state.checkpoint import read_parquet_auto
     ents = read_parquet_auto(paths["entities"], columns=["entity_id", "name"])
 
+    from ..stages.dedup_docs import MAX_GROUP_MEMBERS
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # per-group fan-out guard: an adversarial hot name would otherwise
+        # emit O(group²) pairs from one bucket (cf. reference's matched[:5]
+        # cap, ingest_changes.py:144); cap is far above observed group sizes
         out = []
         for name, grp in g.groupby("name", sort=False):
-            ids = sorted(grp["entity_id"])
+            ids = sorted(grp["entity_id"])[:MAX_GROUP_MEMBERS]
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     out.append((ids[i], ids[j], name))
@@ -212,10 +217,13 @@ def kg_prefix_pairs(sf_dir: str):
         blk = toks[ok].map(lambda t: t[0] + " " + t[1])
         return pd.DataFrame({"entity_id": b["entity_id"][ok], "blk": blk})
 
+    from ..stages.dedup_docs import MAX_GROUP_MEMBERS
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # bounded fan-out per prefix block (see kg_twin_pairs note)
         out = []
         for _, grp in g.groupby("blk", sort=False):
-            ids = sorted(grp["entity_id"])
+            ids = sorted(grp["entity_id"])[:MAX_GROUP_MEMBERS]
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     out.append((ids[i], ids[j]))

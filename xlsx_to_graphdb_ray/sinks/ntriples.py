@@ -14,6 +14,8 @@ Triple rows are the engine's standard layout: ``subj``/``pred`` IRIs,
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -32,10 +34,21 @@ def escape_literal(col: pa.Array) -> pa.Array:
 
 
 def serialize_batch(b: pa.Table) -> bytes:
-    """One Arrow triples block → N-Triples bytes (vectorized string ops)."""
+    """One Arrow triples block → N-Triples bytes (vectorized string ops).
+
+    Nulls are rejected up front: this sink is a registered plugin seam, so
+    arbitrary upstream stages can feed it — a null subj/pred/obj/obj_lit has
+    no N-Triples serialization and silently coercing it would corrupt the
+    graph (null obj_lit would quietly serialize a literal as an IRI)."""
     n = len(b)
     if n == 0:
         return b""
+    for col in ("subj", "pred", "obj", "obj_lit"):
+        nn = b[col].null_count
+        if nn:
+            raise ValueError(
+                f"N-Triples sink: column {col!r} has {nn} null(s); "
+                "triples must be fully populated (fill or filter upstream)")
     subj = b["subj"].combine_chunks() if isinstance(b["subj"], pa.ChunkedArray) \
         else b["subj"]
     pred = b["pred"].combine_chunks() if isinstance(b["pred"], pa.ChunkedArray) \
@@ -82,7 +95,20 @@ class NTriplesDatasink(BlockBasedFileDatasink):
 
 def write_ntriples(ds, out_dir: str, *, min_rows_per_file: int | None = None,
                    mode: str = "overwrite") -> str:
-    """Write a triples Dataset as chunked N-Triples part files."""
+    """Write a triples Dataset as chunked N-Triples part files.
+
+    ``mode="overwrite"`` clears pre-existing ``.nt`` part files first:
+    deterministic part names alone only overwrite matching (task, block)
+    indices, so a rerun producing FEWER blocks would leave stale parts mixed
+    into the directory and any RDF consumer would read stale triples.
+    ``mode="append"`` keeps existing parts (caller manages disjoint names).
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
+    if mode == "overwrite" and os.path.isdir(out_dir):
+        for f in os.listdir(out_dir):
+            if f.endswith(".nt"):
+                os.unlink(os.path.join(out_dir, f))
     ds.write_datasink(NTriplesDatasink(
         out_dir, min_rows_per_file=min_rows_per_file), )
     return out_dir

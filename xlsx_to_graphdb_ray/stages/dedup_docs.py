@@ -1,9 +1,11 @@
 """Document deduplication family (training-data-pipeline operators).
 
 All hashing is md5-based so the DuckDB oracles can reproduce results
-bit-for-bit (``md5`` exists on both sides; minimum over fixed-width hex
-strings == minimum over the 128-bit integers, so MinHash signatures are
-lexicographic string minima — no integer conversion needed anywhere).
+bit-for-bit (``md5`` exists on both sides). MinHash signatures exploit the
+fact that the minimum over fixed-width hex strings equals the minimum over
+the underlying 128-bit integers: the reduction runs numerically as two
+``np.minimum.reduceat`` passes over (hi, lo) uint64 word pairs, and only
+the final per-doc minima are re-hexed (see ``minhash_signatures``).
 
 Operators:
 
@@ -23,7 +25,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .shuffle import bucketed_map_groups, grouped_agg
+from .joins import hash_join
+from .shuffle import bucketed_map_groups, grouped_agg, grouped_distinct
 
 K_HASHES = 16
 N_BANDS = 8           # 2 rows per band → P(collide) = 1-(1-J²)^8 ≈ .99 at J=.67
@@ -63,10 +66,16 @@ def exact_dedup(docs_ds):
 # uint64 halves so the per-doc minimum is numeric, not string compares
 _SHINGLE_HASH_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 _SHINGLE_HASH_CACHE_MAX = 2_000_000
+_SHINGLE_HASH_CACHE_K = [0]       # k the cached rows were built for
 
 
 def _shingle_hash_matrix(uniq, k: int) -> tuple[np.ndarray, np.ndarray]:
     cache = _SHINGLE_HASH_CACHE
+    # cached rows are k-wide; a different k in the same worker process must
+    # not reuse them (wrong-width broadcast) — clear and re-key
+    if _SHINGLE_HASH_CACHE_K[0] != k:
+        cache.clear()
+        _SHINGLE_HASH_CACHE_K[0] = k
     if len(cache) > _SHINGLE_HASH_CACHE_MAX:
         cache.clear()
     hi = np.empty((len(uniq), k), dtype=np.uint64)
@@ -98,13 +107,16 @@ def _shingle_hash_matrix(uniq, k: int) -> tuple[np.ndarray, np.ndarray]:
     return hi, lo
 
 
-def minhash_signatures(b: pd.DataFrame, k: int = K_HASHES) -> pd.DataFrame:
+def minhash_signatures(b: pd.DataFrame, k: int = K_HASHES,
+                       with_shingles: bool = True) -> pd.DataFrame:
     """Per-doc MinHash signature: sig[i] = min over shingles of
     md5(f"{i}|{shingle}") — a fixed-width hex string; its min is the min of
     the underlying 128-bit integer, so the reduction runs as two numeric
     ``np.minimum.reduceat`` passes (hi words, then lo words among the hi
     minima) over the exploded shingle matrix. One md5 set per *unique*
-    shingle, memoized across batches. Plus the shingle list for verify."""
+    shingle, memoized across batches. ``with_shingles=False`` omits the
+    shingle-list column (the banding path never ships shingles — see
+    ``minhash_lsh_pairs``)."""
     sh_lists = [shingles(t) for t in b["text"]]
     counts = np.fromiter((len(x) for x in sh_lists), dtype=np.int64,
                          count=len(sh_lists))
@@ -135,54 +147,95 @@ def minhash_signatures(b: pd.DataFrame, k: int = K_HASHES) -> pd.DataFrame:
                        for i in range(k)]
     out = pd.DataFrame({"doc_id": b["doc_id"].values})
     out["sig"] = sigs
-    out["shingles"] = sh_lists
+    if with_shingles:
+        out["shingles"] = sh_lists
     return out
+
+
+# per-group blocking-join guard: a band bucket (or name/prefix block) with
+# more than this many members is truncated to the first MAX_GROUP_MEMBERS
+# sorted ids before pair emission — bounds the O(group²) fan-out against an
+# adversarial hot key (the reference caps fan-out the same way,
+# ingest_changes.py:144 ``matched[:5]``). Far above any observed group size
+# on real corpora (sf0.1 band buckets: ≤ a few dozen), so oracle parity is
+# unaffected; at 100 TB a hotter bucket means the docs are near-identical
+# en masse and any MAX_GROUP_MEMBERS representatives carry the signal.
+MAX_GROUP_MEMBERS = 512
 
 
 def minhash_lsh_pairs(docs_ds, jaccard_t: float = JACCARD_T):
     """Near-dup pairs via MinHash banding + exact verification.
 
-    shingle→minhash per batch → explode to (band, band_key, doc_id) rows →
-    groupby band bucket → candidate pairs within bucket → exact Jaccard on
-    the shingle sets ≥ ``jaccard_t``. Returns (doc_a, doc_b, jaccard)
-    with doc_a < doc_b, jaccard rounded to 6 dp.
+    shingle→minhash per batch → explode to lean (band_key, doc_id) rows →
+    groupby band bucket → candidate id pairs within bucket → hash-join the
+    deduped candidates back against a ONE-COPY (doc_id, shingles) side →
+    exact Jaccard ≥ ``jaccard_t``. Returns (doc_a, doc_b, jaccard) with
+    doc_a < doc_b, jaccard rounded to 6 dp.
+
+    Scale shape: the band exchange carries only ids + band keys (the
+    round-2 version duplicated each doc's full shingle set across its
+    N_BANDS band rows — ~8× corpus shingle bytes through the shuffle);
+    shingle sets transit exactly once, joined to the (few) candidates.
     """
     rows_per_band = K_HASHES // N_BANDS
 
     def bands(b: pd.DataFrame) -> pd.DataFrame:
-        sigd = minhash_signatures(b)
+        sigd = minhash_signatures(b, with_shingles=False)
         out = []
-        for did, sig, sh in zip(sigd["doc_id"], sigd["sig"],
-                                sigd["shingles"]):
-            sh_packed = "\x1f".join(sh)
+        for did, sig in zip(sigd["doc_id"], sigd["sig"]):
             for band in range(N_BANDS):
                 key = f"{band}|" + "|".join(
                     sig[band * rows_per_band:(band + 1) * rows_per_band])
-                out.append((key, did, sh_packed))
-        return pd.DataFrame(out, columns=["band_key", "doc_id", "sh"])
+                out.append((key, did))
+        return pd.DataFrame(out, columns=["band_key", "doc_id"])
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out = []
         for _, grp in g.groupby("band_key", sort=False):
             if len(grp) < 2:
                 continue
-            grp = grp.sort_values("doc_id")
-            ids = grp["doc_id"].tolist()
-            shs = [set(s.split("\x1f")) for s in grp["sh"]]
+            ids = sorted(grp["doc_id"])[:MAX_GROUP_MEMBERS]
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
-                    inter = len(shs[i] & shs[j])
-                    union = len(shs[i] | shs[j])
-                    jac = inter / union if union else 0.0
-                    if jac >= JACCARD_T:
-                        out.append((ids[i], ids[j], round(jac, 6)))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
+                    out.append((ids[i], ids[j]))
+        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
 
     banded = docs_ds.map_batches(bands, batch_format="pandas")
-    pairs = bucketed_map_groups(banded, ["band_key"], bucket_pairs)
-    # a pair can collide in several bands → dedup, keep one row
-    return grouped_agg(pairs, ["doc_a", "doc_b"],
-                       [("jaccard", "jaccard", "min")], n_buckets=16)
+    cand = bucketed_map_groups(banded, ["band_key"], bucket_pairs)
+    # a pair can collide in several bands → dedup before the verify joins
+    cand = grouped_distinct(cand, ["doc_a", "doc_b"], n_buckets=16)
+
+    # one-copy shingle side (no md5 work here — shingling is string ops)
+    def sh_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].values,
+            "sh": ["\x1f".join(shingles(t)) for t in b["text"]]})
+
+    side = docs_ds.map_batches(sh_side, batch_format="pandas")
+    # re-cast ids to int64 between joins: hash_join's union-pad promotes the
+    # non-key side's ids to float64 (NaN padding), and the bucket hash is a
+    # STRING hash — "278.0" and "278" land in different buckets
+    j1 = hash_join(cand, side, on=["doc_a"], right_on=["doc_id"],
+                   n_buckets=16).map_batches(
+        lambda b: pd.DataFrame({"doc_a": b["doc_a"].astype("int64"),
+                                "doc_b": b["doc_b"].astype("int64"),
+                                "sh_a": b["sh"]}), batch_format="pandas")
+    j2 = hash_join(j1, side, on=["doc_b"], right_on=["doc_id"],
+                   n_buckets=16)
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for da, db, sa, sb in zip(b["doc_a"], b["doc_b"], b["sh_a"], b["sh"]):
+            xa, xb = set(sa.split("\x1f")), set(sb.split("\x1f"))
+            union = len(xa | xb)
+            jac = len(xa & xb) / union if union else 0.0
+            if jac >= jaccard_t:
+                out.append((int(da), int(db), round(jac, 6)))
+        df = pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
+        return df.astype({"doc_a": "int64", "doc_b": "int64",
+                          "jaccard": "float64"})
+
+    return j2.map_batches(verify, batch_format="pandas")
 
 
 def ngram_jaccard_pairs(docs_ds, jaccard_t: float = JACCARD_T):

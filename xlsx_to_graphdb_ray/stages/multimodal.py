@@ -84,8 +84,8 @@ def byte_stats(media_ds):
 
 def byte_entropy(media_ds):
     """(media_id, entropy) — Shannon entropy of the byte histogram, a real
-    vectorized feature extractor over the binary column (rows-only check:
-    no tractable SQL equivalent)."""
+    vectorized feature extractor over the binary column (oracle-checked:
+    ``mm_entropy`` reproduces it in SQL via a per-byte unnest histogram)."""
 
     def ent(b: pd.DataFrame) -> pd.DataFrame:
         out = np.zeros(len(b), dtype=np.float64)

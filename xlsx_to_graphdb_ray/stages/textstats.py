@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -74,7 +75,11 @@ def quality_scores(docs_ds):
         flat = toks.flatten()
         hits = pc.is_in(flat, value_set=stop_set).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        offsets = toks.offsets.to_numpy()[:-1].astype(np.int64)
+        # ListArray.offsets are ABSOLUTE positions into the values buffer;
+        # flatten() is relative to the array's slice — rebase so the two
+        # stay aligned even if this array ever carries a non-zero offset
+        raw_off = toks.offsets.to_numpy().astype(np.int64)
+        offsets = (raw_off - raw_off[0])[:-1]
         stops = np.add.reduceat(hits, offsets) if len(hits) else \
             np.zeros(len(nt), dtype=np.int64)
         stop_ratio = np.round(stops / n, 6)
@@ -130,19 +135,50 @@ def lang_id(docs_ds):
     return docs_ds.map_batches(pred, batch_format="pyarrow")
 
 
+# per-gram md5s memoized per worker process (same pattern as
+# dedup_docs._SHINGLE_HASH_CACHE): k-gram vocabularies repeat heavily
+# across a natural-language corpus, so most grams cost a dict hit, not an
+# md5. Safe without a w in the key — the gram STRING itself differs by w.
+_GRAM_HASH_CACHE: dict[str, str] = {}
+_GRAM_HASH_CACHE_MAX = 2_000_000
+
+
 def fingerprints(docs_ds, w: int = FINGERPRINT_W):
     """(doc_id, fp) — document fingerprint: the lexicographic MIN of
     md5(k-gram) over all token k-grams (winnowing-style content id; equal
-    for exact duplicates, stable under token order preservation)."""
+    for exact duplicates, stable under token order preservation). One md5
+    per *unique* gram in the batch (np.unique + inverse scatter), memoized
+    across batches per worker."""
 
     def fp(b: pd.DataFrame) -> pd.DataFrame:
-        out = []
+        cache = _GRAM_HASH_CACHE
+        if len(cache) > _GRAM_HASH_CACHE_MAX:
+            cache.clear()
+        md5 = hashlib.md5
+        get = cache.get
+        gram_lists = []
         for t in b["text"].fillna(""):
             toks = t.split(" ")
-            grams = [" ".join(toks[i:i + w])
-                     for i in range(max(1, len(toks) - w + 1))]
-            out.append(min(hashlib.md5(g.encode()).hexdigest()
-                           for g in grams))
-        return pd.DataFrame({"doc_id": b["doc_id"].values, "fp": out})
+            gram_lists.append([" ".join(toks[i:i + w])
+                               for i in range(max(1, len(toks) - w + 1))])
+        flat = np.asarray([g for gl in gram_lists for g in gl], dtype=object)
+        if len(flat) == 0:
+            return pd.DataFrame({"doc_id": b["doc_id"].values,
+                                 "fp": [""] * len(b)})
+        uniq, inv = np.unique(flat, return_inverse=True)
+        uhash = np.empty(len(uniq), dtype=object)
+        for i, g in enumerate(uniq):
+            h = get(g)
+            if h is None:
+                h = md5(g.encode()).hexdigest()
+                cache[g] = h
+            uhash[i] = h
+        ghash = uhash[inv]
+        counts = np.fromiter((len(gl) for gl in gram_lists), dtype=np.int64,
+                             count=len(gram_lists))
+        offsets = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        mins = np.minimum.reduceat(ghash, offsets)
+        return pd.DataFrame({"doc_id": b["doc_id"].values, "fp": mins})
 
     return docs_ds.map_batches(fp, batch_format="pandas")
