@@ -31,6 +31,13 @@ def main(argv=None) -> int:
                     help="single dir instead of pred-partitioned layout")
     ap.add_argument("--ntriples-out", default=None,
                     help="also emit RDF N-Triples part files to this dir")
+    ap.add_argument("--xlsx", default=None,
+                    help="import a raw .xlsx workbook (container byte path) "
+                         "instead of the transcript pipeline")
+    ap.add_argument("--bom-csv", default=None,
+                    help="with --xlsx: parent/child BOM CSV side input")
+    ap.add_argument("--bom-by-name", action="store_true",
+                    help="with --xlsx: resolve BOM rows by part NAME")
     args = ap.parse_args(argv)
 
     import ray
@@ -39,6 +46,24 @@ def main(argv=None) -> int:
                  include_dashboard=False, logging_level="ERROR")
     from .config import tune_context
     tune_context()
+
+    if args.xlsx:
+        # reference entry import_data(excel_path, bom_csv_path, ...) —
+        # spreadsheet_loader.py:1355-1369 — over the stdlib container reader
+        import pandas as pd
+        from .sources.xlsx import import_xlsx
+        bom = pd.read_csv(args.bom_csv) if args.bom_csv else None
+        ds, stats = import_xlsx(args.xlsx, bom,
+                                bom_by_name=args.bom_by_name,
+                                strict_names=args.strict_names)
+        if args.out:
+            ds.write_parquet(args.out)
+        if args.ntriples_out:
+            from .sinks.ntriples import write_ntriples
+            write_ntriples(ds, args.ntriples_out)
+        print(json.dumps(stats, default=str))
+        ray.shutdown()
+        return 0
     from .pipeline_config import PipelineConfig, run_pipeline
 
     cfg = PipelineConfig(
