@@ -79,21 +79,50 @@ def run_bench() -> dict:
     timed("kg_tool_usage", q.kg_tool_usage)
     timed("kg_resolution_status", q.kg_resolution_status)
     timed("kg_fuzzy_candidates", q.kg_fuzzy_candidates)
+    timed("kg_first_mention", q.kg_first_mention)
+    timed("kg_twin_pairs", q.kg_twin_pairs)
+    timed("kg_prefix_pairs", q.kg_prefix_pairs)
+    timed("kg_depth_topk", q.kg_depth_topk)
+    timed("kg_resolution_report", q.kg_resolution_report)
 
     # training-data operators at the same tier
+    from xlsx_to_graphdb_ray.pipelines import changes as ch
     from xlsx_to_graphdb_ray.pipelines import relational as r
+    from xlsx_to_graphdb_ray.pipelines import temporal as tp
     from xlsx_to_graphdb_ray.pipelines import training as tr
     timed("docs_exact_dedup", tr.docs_exact_dedup)
     timed("docs_minhash_pairs", tr.docs_minhash_pairs)
+    timed("docs_ngram_pairs", tr.docs_ngram_pairs)
     timed("docs_token_stats", tr.docs_token_stats)
     timed("docs_simhash", tr.docs_simhash)
     timed("docs_quality", tr.docs_quality)
+    timed("docs_lang_id", tr.docs_lang_id)
+    timed("docs_fingerprint", tr.docs_fingerprint)
     timed("ann_topk", tr.ann_topk)
+    timed("ann_ivf_topk", tr.ann_ivf_topk)
+    timed("vecs_near_dup_exact", tr.vecs_near_dup_exact)
     timed("vecs_near_dup_lsh", tr.vecs_near_dup_lsh)
     timed("events_sessionize", tr.events_sessionize)
     timed("events_tumbling", tr.events_tumbling)
+    timed("events_next_purchase", tr.events_next_purchase)
+    timed("events_type_transitions", tr.events_type_transitions)
+    timed("events_props_sum", tr.events_props_sum)
+    timed("vers_latest", tp.versions_latest)
+    timed("vers_evolves_to", tp.versions_evolves_to)
+    timed("changes_by_type", ch.changes_by_type)
+    timed("changes_affects_links", ch.changes_affects_links)
+    timed("changes_depends_on", ch.changes_depends_on)
+    timed("mm_byte_stats", tr.mm_byte_stats)
+    timed("mm_entropy", tr.mm_entropy)
+    timed("mm_header_meta", tr.mm_header_meta)
+    timed("mm_decoded_means", tr.mm_decoded_means)
     timed("rel_pricing_summary", r.pricing_summary)
     timed("rel_brand_revenue", r.brand_revenue)
+    timed("rel_top_parts", r.top_parts_by_usage)
+    timed("rel_parts_having", r.parts_usage_having)
+    timed("rel_top_customers", r.customer_order_totals_topk)
+    timed("rel_distinct_nations", r.distinct_active_nations)
+    timed("rel_region_order_stats", r.region_order_stats)
 
     out = {
         "metric": "kg_triples_e2e",

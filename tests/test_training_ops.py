@@ -113,11 +113,64 @@ def test_decode_stub_raises_without_fake():
         multimodal.DecodeStub(fake=False)
 
 
-def test_decode_fake_pixel_means(ray_session):
+def test_decode_fake_pixel_sums(ray_session):
     media = ray.data.read_parquet(synth.ensure_synth(SF)["media"]).limit(20)
     out = multimodal.decode_and_reduce(media, fake=True).to_pandas()
     assert len(out) == 20
-    assert ((out["pixel_mean"] >= 0) & (out["pixel_mean"] <= 255)).all()
+    assert (out["n_pixels"] >= 1).all()
+    # mean of uint8 pixels must land in [0, 255]
+    mean = out["pixel_sum"] / out["n_pixels"]
+    assert ((mean >= 0) & (mean <= 255)).all()
+
+
+def test_parse_headers_matches_writer_metadata(ray_session):
+    """The struct-level parse (pure bytes) must recover exactly what the
+    synth writer encoded in the PNG IHDR / WAV fmt headers."""
+    paths = synth.ensure_synth(SF)
+    media = ray.data.read_parquet(paths["media"])
+    meta = pd.read_parquet(paths["media"],
+                           columns=["media_id", "kind", "width", "height",
+                                    "sample_rate"])
+    out = multimodal.parse_headers(media).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    meta = meta.sort_values("media_id").reset_index(drop=True)
+    assert (out["container"] == np.where(meta["kind"] == "image",
+                                         "png", "wav")).all()
+    assert (out["width"] == meta["width"]).all()
+    assert (out["height"] == meta["height"]).all()
+    assert (out["sample_rate"] == meta["sample_rate"]).all()
+    imgs = out[out["container"] == "png"]
+    wavs = out[out["container"] == "wav"]
+    assert set(imgs["bit_depth"]) == {8}
+    assert set(imgs["channels"]) <= {1, 3, 4}
+    assert set(wavs["bit_depth"]) <= {8, 16}
+    assert set(wavs["channels"]) <= {1, 2}
+
+
+def test_parse_headers_golden_and_malformed(ray_session):
+    """Hand-built headers parse to known values; junk/truncated payloads
+    come back as container='unknown' with zeroed fields, not a crash."""
+    rows = [
+        {"media_id": 0,
+         "data": synth.png_header(640, 480, color_type=6) + b"px"},
+        {"media_id": 1,
+         "data": synth.wav_header(44100, 2, 16, 4) + b"samp"},
+        {"media_id": 2, "data": b"\x89PNG\r\n\x1a\x00 corrupted sig"},
+        {"media_id": 3, "data": b"RIFFxxxxWAVEdata"},      # truncated fmt
+        {"media_id": 4, "data": b""},
+    ]
+    ds = ray.data.from_items(rows)
+    out = multimodal.parse_headers(ds).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert out.loc[0, "container"] == "png"
+    assert (out.loc[0, ["width", "height", "bit_depth", "channels"]]
+            .tolist() == [640, 480, 8, 4])
+    assert out.loc[1, "container"] == "wav"
+    assert (out.loc[1, ["sample_rate", "channels", "bit_depth"]]
+            .tolist() == [44100, 2, 16])
+    assert (out.loc[2:, "container"] == "unknown").all()
+    assert (out.loc[2:, ["width", "height", "bit_depth", "channels",
+                         "sample_rate"]].to_numpy() == 0).all()
 
 
 def test_hot_group_pair_fanout_is_capped(ray_session):

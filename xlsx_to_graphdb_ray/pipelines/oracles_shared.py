@@ -322,6 +322,62 @@ def mm_oracles(sf_dir: str) -> dict[str, str]:
             SELECT m.media_id, coalesce(e.entropy, 0.0) AS entropy
             FROM read_parquet('{p["media"]}') m
             LEFT JOIN e ON e.media_id = m.media_id""",
+        # header fields re-derived from the raw BYTES in SQL (hex substring
+        # arithmetic): PNG sig+IHDR big-endian at fixed offsets, RIFF/WAVE
+        # fmt little-endian — independently mirrors stages/multimodal
+        # parse_headers' numpy parse
+        "mm_header_meta": f"""
+            WITH m AS (SELECT media_id, hex(data) AS hx,
+                              octet_length(data) AS n
+                       FROM read_parquet('{p["media"]}')),
+            f AS (SELECT media_id, hx, n,
+                   n >= 33 AND substr(hx, 1, 16) = '89504E470D0A1A0A'
+                       AND substr(hx, 25, 8) = '49484452' AS is_png,
+                   n >= 44 AND substr(hx, 1, 8) = '52494646'
+                       AND substr(hx, 17, 8) = '57415645'
+                       AND substr(hx, 25, 8) = '666D7420' AS is_wav
+                  FROM m)
+            SELECT media_id,
+              CASE WHEN is_png THEN 'png' WHEN is_wav THEN 'wav'
+                   ELSE 'unknown' END AS container,
+              CASE WHEN is_png THEN ('0x' || substr(hx, 33, 8))::BIGINT
+                   ELSE 0 END AS width,
+              CASE WHEN is_png THEN ('0x' || substr(hx, 41, 8))::BIGINT
+                   ELSE 0 END AS height,
+              CASE WHEN is_png THEN ('0x' || substr(hx, 49, 2))::BIGINT
+                   WHEN is_wav THEN ('0x' || substr(hx, 71, 2)
+                                     || substr(hx, 69, 2))::BIGINT
+                   ELSE 0 END AS bit_depth,
+              CASE WHEN is_png THEN
+                     CASE ('0x' || substr(hx, 51, 2))::BIGINT
+                       WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
+                       WHEN 4 THEN 2 WHEN 6 THEN 4 ELSE 0 END
+                   WHEN is_wav THEN ('0x' || substr(hx, 47, 2)
+                                     || substr(hx, 45, 2))::BIGINT
+                   ELSE 0 END AS channels,
+              CASE WHEN is_wav THEN ('0x' || substr(hx, 55, 2)
+                                     || substr(hx, 53, 2)
+                                     || substr(hx, 51, 2)
+                                     || substr(hx, 49, 2))::BIGINT
+                   ELSE 0 END AS sample_rate
+            FROM f""",
+        # the fake-decode arithmetic (tile data bytes to width*height,
+        # truncate, sum) reproduced exactly: full repetitions × total byte
+        # sum + prefix sum of the remainder
+        "mm_decoded_means": f"""
+            WITH m AS (
+              SELECT media_id,
+                     greatest(1, width * height)::BIGINT AS n,
+                     octet_length(data)::BIGINT AS len,
+                     [('0x' || substr(hex(data), 2*i-1, 2))::BIGINT
+                      for i in range(1, octet_length(data) + 1)] AS bts
+              FROM read_parquet('{p["media"]}'))
+            SELECT media_id,
+                   ((n // len) * list_aggregate(bts, 'sum')
+                    + coalesce(list_aggregate(bts[1:(n % len)], 'sum'), 0)
+                   )::BIGINT AS pixel_sum,
+                   n AS n_pixels
+            FROM m""",
     }
 
 

@@ -140,5 +140,9 @@ def mm_entropy(sf_dir: str):
     return multimodal.byte_entropy(_media(sf_dir))
 
 
+def mm_header_meta(sf_dir: str):
+    return multimodal.parse_headers(_media(sf_dir))
+
+
 def mm_decoded_means(sf_dir: str):
     return multimodal.decode_and_reduce(_media(sf_dir), fake=True)

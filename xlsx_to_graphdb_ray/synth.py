@@ -49,6 +49,8 @@ Structural guarantees relied on downstream:
 from __future__ import annotations
 
 import os
+import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -81,7 +83,7 @@ REVISIONS = ["A", "B", "C", "D"]
 TS_BASE_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in microseconds
 
 DATA_ROOT = "/tmp/graft_data"
-SYNTH_VERSION = "7"  # bump on any generator change → new cache dir
+SYNTH_VERSION = "8"  # bump on any generator change → new cache dir
 
 
 def n_entities_for(sf: float) -> int:
@@ -437,10 +439,37 @@ def make_versions(sf: float) -> pa.Table:
     })
 
 
+def png_header(w: int, h: int, color_type: int = 2,
+               bit_depth: int = 8) -> bytes:
+    """A REAL PNG container prefix: 8-byte signature + IHDR chunk with a
+    valid CRC32 (PNG spec §5.2/11.2.2). Pixel data is NOT encoded — the
+    payload that follows is opaque bytes — but any header-level PNG parser
+    (including ours, stages/multimodal.parse_headers) reads this."""
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + chunk
+            + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF))
+
+
+def wav_header(sample_rate: int, channels: int, bits: int,
+               n_data: int) -> bytes:
+    """A REAL RIFF/WAVE header (44-byte canonical PCM layout): RIFF size,
+    fmt chunk (PCM=1, channels, rate, byte-rate, block-align, bits), data
+    chunk size. The sample payload that follows is opaque bytes."""
+    byte_rate = sample_rate * channels * (bits // 8)
+    block_align = channels * (bits // 8)
+    return (b"RIFF" + struct.pack("<I", 36 + n_data) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels,
+                                    sample_rate, byte_rate, block_align, bits)
+            + b"data" + struct.pack("<I", n_data))
+
+
 def make_media(sf: float) -> pa.Table:
-    """Deterministic fake binary media table (images + audio) for the
-    multimodal plumbing stages: payload bytes derive from splitmix64, so
-    checksums/feature values are stable everywhere."""
+    """Deterministic binary media table (images + audio) for the multimodal
+    stages: each payload starts with a REAL container header (PNG
+    signature+IHDR with CRC, or RIFF/WAVE fmt) followed by splitmix64
+    pseudo-content, so header parsers exercise genuine byte layouts while
+    checksums/feature values stay stable everywhere."""
     n = max(40, int(round(5_000 * sf)))
     k = np.arange(n, dtype=np.uint64)
     h = mix2(k, np.full(n, 99, dtype=np.uint64))
@@ -450,17 +479,31 @@ def make_media(sf: float) -> pa.Table:
                        .astype(np.int64), 0)
     rates = np.where(is_img, 0, 8000 + 100 * ((h >> np.uint64(16))
                                               % np.uint64(80)).astype(np.int64))
+    # PNG color types 0/2/6 (gray/RGB/RGBA → 1/3/4 channels); WAV 1-2
+    # channels, 8/16-bit samples — all deterministic from the row hash
+    ctypes = np.array([0, 2, 6])[((h >> np.uint64(24))
+                                  % np.uint64(3)).astype(np.int64)]
+    wav_ch = 1 + ((h >> np.uint64(32)) % np.uint64(2)).astype(np.int64)
+    wav_bits = 8 * (1 + ((h >> np.uint64(40))
+                         % np.uint64(2)).astype(np.int64))
     payloads = []
     for i in range(n):
         m = int(200 + (int(h[i]) % 800))
         words = mix2(np.full(m // 8 + 1, i, dtype=np.uint64),
                      np.arange(m // 8 + 1, dtype=np.uint64))
-        payloads.append(words.tobytes()[:m])
+        body = words.tobytes()[:m]
+        if is_img[i]:
+            head = png_header(int(widths[i]), int(heights[i]),
+                              color_type=int(ctypes[i]))
+        else:
+            head = wav_header(int(rates[i]), int(wav_ch[i]),
+                              int(wav_bits[i]), m)
+        payloads.append(head + body)
     return pa.table({
         "media_id": pa.array(k.astype(np.int64)),
         "kind": pa.array(np.where(is_img, "image", "audio").tolist(),
                          pa.string()),
-        "format": pa.array(np.where(is_img, "fake-png", "fake-wav").tolist(),
+        "format": pa.array(np.where(is_img, "png", "wav").tolist(),
                            pa.string()),
         "width": pa.array(widths.astype(np.int32)),
         "height": pa.array(heights.astype(np.int32)),
