@@ -10,10 +10,8 @@ import ray
 def ray_session():
     ray.init(address="local", num_cpus=4, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
-    from ray.data import DataContext
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    ctx.execution_options.verbose_progress = False
+    from xlsx_to_graphdb_ray.config import tune_context
+    tune_context()
     yield
     ray.shutdown()
 

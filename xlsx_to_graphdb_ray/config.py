@@ -6,24 +6,36 @@ it only adjusts the ``DataContext`` of whatever session the driver owns.
 
 from __future__ import annotations
 
-_TUNED = False
-
 
 def tune_context() -> None:
-    """Apply the engine's DataContext settings once per process.
+    """Apply the engine's DataContext settings to the CURRENT context.
 
-    - hash-based shuffle for groupby/map_groups: measured ~3× faster than
-      the sort-based default for the engine's bucketed exchanges (int keys,
-      many small groups).
+    - hash-based shuffle for the bucketed exchanges: measured ~3× faster
+      than the sort-based default (int keys, many small groups), and
+      REQUIRED by ``shuffle.partition_map``'s keyed repartition.
     - progress bars off (harness/bench output hygiene).
+
+    Idempotence is keyed on the DataContext OBJECT (not a process global):
+    a fresh ``ray.init`` creates a fresh context that must be re-tuned.
     """
-    global _TUNED
-    if _TUNED:
-        return
     from ray.data import DataContext
+
+    tune_context_obj(DataContext.get_current())
+
+
+def tune_context_obj(ctx) -> None:
+    """Apply the engine's settings to a specific ``DataContext`` object.
+
+    Needed because every ``Dataset`` SNAPSHOTS the current context at
+    creation: a dataset built by a caller before ``tune_context()`` ran
+    (tests, external users handing us a ``from_pandas`` dataset) plans its
+    shuffles against the stale copy. ``shuffle.partition_map`` therefore
+    re-tunes ``ds.context`` directly.
+    """
+    if getattr(ctx, "_graft_tuned", False):
+        return
     from ray.data.context import ShuffleStrategy
 
-    ctx = DataContext.get_current()
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     # bound shuffle-aggregator actors so small sessions (tests run with
     # num_cpus=4) can't deadlock on actor-pool resource starvation
@@ -58,4 +70,4 @@ def tune_context() -> None:
         pass
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
-    _TUNED = True
+    ctx._graft_tuned = True

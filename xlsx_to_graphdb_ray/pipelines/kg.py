@@ -6,7 +6,7 @@ derive → serialize → POST) as a streaming Ray Data pipeline:
 
     read_parquet(turns)
       → map_batches(extract_events)           [pyarrow, stateless tasks]
-      → groupby(conv_bucket).map_groups(anaphora) [order-sensitive, events only]
+      → partition_map(conv_bucket, anaphora)  [order-sensitive, events only]
       → map_batches(Resolver, actor pool)     [broadcast entity dictionary]
       →  ═ checkpoint: events_resolved/ ═
       → branches: sameAs → connected components → canonical map (broadcast)

@@ -13,10 +13,11 @@ Scale design (two deliberate choices):
    shuffle moves only small event rows, a fraction of the input bytes.
 2. Conversations are grouped by a **hash bucket** (``conv_bucket =
    stable_hash(conv_id) % n_buckets``), not by conv_id directly: one
-   ``map_groups`` call per bucket instead of one Python call per
-   conversation, with all per-conversation work done by *vectorized* pandas
-   ``groupby(conv_id)`` kernels inside the bucket. Bucketing by hash also
-   spreads conversations evenly, so no single group is hot.
+   Python call per co-located partition (``shuffle.partition_map``)
+   instead of one per conversation, with all per-conversation work done by
+   *vectorized* pandas ``groupby(conv_id)`` kernels inside the partition.
+   Bucketing by hash also spreads conversations evenly, so no single group
+   is hot.
 
 Never relies on global block order (SURVEY.md §4 "Ordering") — every bucket
 sorts by the stable (conv_id, turn_idx, ord, kind) coordinates itself.
@@ -75,11 +76,11 @@ def substitute_anaphora(events_ds, n_buckets: int = N_BUCKETS):
 
     The bucket column is attached on Arrow blocks so the hash exchange
     ships Arrow (zero-copy) instead of pickled pandas — measured 20%
-    faster at the sf2 tier; the per-bucket substitution still runs as
-    vectorized pandas inside ``map_groups``.
+    faster at the sf2 tier; the substitution runs as vectorized pandas
+    over whole co-located partitions (``shuffle.partition_map``).
     """
+    from .shuffle import partition_map
     bucketed = events_ds.map_batches(
         lambda b: _add_conv_bucket_arrow(b, n_buckets),
         batch_format="pyarrow")
-    return bucketed.groupby("conv_bucket").map_groups(
-        resolve_bucket, batch_format="pandas")
+    return partition_map(bucketed, "conv_bucket", resolve_bucket)

@@ -99,4 +99,5 @@ def hash_join(left_ds, right_ds, on: list[str], *, right_on: list[str] | None = 
             out = lg.merge(rg, left_on=on, right_on=r_on_renamed, how=pd_how)
         return out.reset_index(drop=True)
 
-    return both.groupby(_BUCKET).map_groups(join_bucket, batch_format="pandas")
+    from .shuffle import partition_map
+    return partition_map(both, _BUCKET, join_bucket)

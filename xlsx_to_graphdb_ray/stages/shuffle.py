@@ -37,6 +37,48 @@ _ALGEBRAIC = {"min": ("min", "min"), "max": ("max", "max"),
               "sum": ("sum", "sum"), "count": ("count_all", "sum")}
 
 
+def partition_map(ds, bucket_col: str, fn, batch_format: str = "pandas"):
+    """Key-colocated whole-partition transform — the exchange primitive
+    behind every bucketed stage (replaces ``groupby(bucket).map_groups``).
+
+    ``repartition(keys=[bucket_col], sort=False)`` hash-partitions on the
+    narrow int bucket column, then ``map_batches(batch_size=None)`` hands
+    ``fn`` one WHOLE partition per call. ``fn`` may therefore see MANY
+    bucket values in one call and must do its own per-key grouping — every
+    caller in this repo already does (their per-key work is vectorized
+    pandas/Arrow inside the bucket).
+
+    Why not ``groupby().map_groups``:
+    - it sorts each partition by the key before slicing groups — pure
+      overhead here, since the callers re-group internally anyway;
+    - Ray 2.49's sort-on-finalize path crashes on partitions that received
+      no rows (``hash_shuffle.py:162`` ``sort_by`` on a schema-less empty
+      block — the one-shot schema broadcast is swallowed when the
+      first-scheduled shuffle input block is empty,
+      ``hash_shuffle.py:223-225``). The no-sort repartition path never
+      sorts, and empty partitions never reach ``fn``.
+    """
+    from ..config import tune_context, tune_context_obj
+    tune_context()  # keys= repartition requires the HASH_SHUFFLE strategy
+    # a Dataset SNAPSHOTS its DataContext at creation — a dataset built by a
+    # caller before tune_context() ran (tests, from_pandas users) would plan
+    # this repartition against the stale sort-shuffle copy; re-tune it
+    tune_context_obj(ds.context)
+    n_parts = ds.context.default_hash_shuffle_parallelism or 8
+
+    def run(g):
+        if not len(g):
+            # schema-less empty partition block (never observed to reach
+            # here — Ray drops them before the map — but fn's column
+            # accesses must not be the thing that breaks if one does)
+            return g
+        return fn(g)
+
+    return ds.repartition(num_blocks=n_parts, keys=[bucket_col],
+                          sort=False) \
+        .map_batches(run, batch_size=None, batch_format=batch_format)
+
+
 def _group(table: pa.Table, keys: list[str],
            aggs: list[tuple[str, str | None, str]], phase: int) -> pa.Table:
     """One C++ hash-aggregation pass; renames agg outputs to ``out`` names."""
@@ -90,16 +132,16 @@ def grouped_agg(ds, keys: list[str], aggs: list[tuple[str, str | None, str]],
     if small_result:
         return partials.repartition(1).map_batches(
             final, batch_format="pyarrow")
-    return partials.groupby("__bucket").map_groups(
-        final, batch_format="pyarrow")
+    return partition_map(partials, "__bucket", final,
+                         batch_format="pyarrow")
 
 
 def bucketed_map_groups(ds, keys: list[str], fn,
                         n_buckets: int = DEFAULT_BUCKETS):
     """Group-wise pandas transform without one-Python-call-per-group cost:
-    co-locate rows by ``stable_hash(keys) % n_buckets`` and hand ``fn`` one
-    whole bucket at a time — ``fn`` does its own vectorized per-key work
-    (the anaphora-stage pattern, generalized)."""
+    co-locate rows by ``stable_hash(keys) % n_buckets`` and hand ``fn``
+    whole co-located partitions — ``fn`` does its own vectorized per-key
+    work (the anaphora-stage pattern, generalized)."""
     import pandas as pd
 
     def pre(b: pd.DataFrame) -> pd.DataFrame:
@@ -111,9 +153,9 @@ def bucketed_map_groups(ds, keys: list[str], fn,
         b["__bucket"] = (h % n_buckets).astype("int32")
         return b
 
-    return ds.map_batches(pre, batch_format="pandas") \
-        .groupby("__bucket").map_groups(
-            lambda g: fn(g.drop(columns="__bucket")), batch_format="pandas")
+    return partition_map(ds.map_batches(pre, batch_format="pandas"),
+                         "__bucket",
+                         lambda g: fn(g.drop(columns="__bucket")))
 
 
 def grouped_distinct(ds, keys: list[str], n_buckets: int = DEFAULT_BUCKETS,
@@ -137,5 +179,5 @@ def grouped_distinct(ds, keys: list[str], n_buckets: int = DEFAULT_BUCKETS,
     if small_result:
         return partials.repartition(1).map_batches(
             final, batch_format="pyarrow")
-    return partials.groupby("__bucket").map_groups(
-        final, batch_format="pyarrow")
+    return partition_map(partials, "__bucket", final,
+                         batch_format="pyarrow")
