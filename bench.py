@@ -95,11 +95,14 @@ def run_bench() -> dict:
     timed("docs_ngram_pairs", tr.docs_ngram_pairs)
     timed("docs_token_stats", tr.docs_token_stats)
     timed("docs_simhash", tr.docs_simhash)
+    timed("docs_simhash_pairs", tr.docs_simhash_pairs)
     timed("docs_quality", tr.docs_quality)
     timed("docs_lang_id", tr.docs_lang_id)
     timed("docs_fingerprint", tr.docs_fingerprint)
+    timed("docs_tfidf_topk", tr.docs_tfidf_topk)
     timed("ann_topk", tr.ann_topk)
     timed("ann_ivf_topk", tr.ann_ivf_topk)
+    timed("vecs_centroid_assign", tr.vecs_centroid_assign)
     timed("vecs_near_dup_exact", tr.vecs_near_dup_exact)
     timed("vecs_near_dup_lsh", tr.vecs_near_dup_lsh)
     timed("events_sessionize", tr.events_sessionize)
@@ -107,6 +110,7 @@ def run_bench() -> dict:
     timed("events_next_purchase", tr.events_next_purchase)
     timed("events_type_transitions", tr.events_type_transitions)
     timed("events_props_sum", tr.events_props_sum)
+    timed("events_hopping", tr.events_hopping)
     timed("vers_latest", tp.versions_latest)
     timed("vers_evolves_to", tp.versions_evolves_to)
     timed("changes_by_type", ch.changes_by_type)

@@ -50,7 +50,7 @@ def con():
 
 
 ALL_QUERIES = entrymod.queries()
-ROWS_ONLY = ("docs_simhash", "ann_ivf_topk", "vecs_near_dup_lsh")
+ROWS_ONLY = ("ann_ivf_topk", "vecs_near_dup_lsh")
 ORACLED = [n for n in ALL_QUERIES if n not in ROWS_ONLY]
 
 

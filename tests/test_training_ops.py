@@ -108,6 +108,20 @@ def test_lsh_adapts_to_corpus_dim(ray_session):
     assert len(lset & planted) / len(planted) >= 0.95
 
 
+def test_simhash_pairs_find_planted_exact_dups(docs):
+    """Exact-duplicate docs have identical simhash → hamming 0; the banded
+    LSH must surface every one of them (it is exact for hamming<=3)."""
+    pairs = dedup_docs.simhash_pairs(docs).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    n = synth.make_docs(0.001).num_rows
+    planted_exact = {(k - 1, k) for k in range(n) if k % 10 == 7}
+    assert planted_exact <= got
+    zero = pairs[pairs["hamming"] == 0]
+    assert planted_exact <= set(zip(zero["doc_a"], zero["doc_b"]))
+    assert (pairs["hamming"] <= 3).all()
+    assert (pairs["doc_a"] < pairs["doc_b"]).all()
+
+
 def test_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         multimodal.DecodeStub(fake=False)

@@ -83,6 +83,19 @@ def stream_oracles() -> dict[str, str]:
             SELECT user_id, session_idx, count(*) AS n_events,
                    min(ts) AS start_ts, max(ts) AS end_ts
             FROM numbered GROUP BY user_id, session_idx""",
+        # 60-min windows sliding by 30: each event lands in exactly 2
+        # windows — the same epoch-µs floor arithmetic as
+        # windows.hopping_counts
+        "events_hopping": """
+            WITH w AS (
+              SELECT make_timestamp((epoch_us(ts) // 1800000000)
+                                    * 1800000000 - i * 1800000000)
+                         AS window_start,
+                     event_type, value
+              FROM events CROSS JOIN (SELECT unnest(range(2)) AS i))
+            SELECT window_start, event_type, count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM w GROUP BY 1, 2""",
         "events_next_purchase": """
             SELECT v.event_id, v.user_id,
                    coalesce((SELECT p.event_id FROM events p
@@ -157,10 +170,47 @@ exploded AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
 ns AS (SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id)"""
 
 
+def _simhash_cte(docs_path: str) -> str:
+    """64-bit SimHash recomputed in SQL: DISTINCT tokens per doc, md5 →
+    uint64 (first 16 hex chars), per-bit ±1 sums, bit set when sum ≥ 0;
+    two's-complement fold to BIGINT matches numpy's int64 view."""
+    return f"""
+dt AS (SELECT DISTINCT doc_id,
+              unnest(string_split(coalesce(text, ''), ' ')) AS tok
+       FROM read_parquet('{docs_path}')),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv
+      FROM dt),
+bits AS (SELECT doc_id, b AS bit,
+                sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM h CROSS JOIN (SELECT unnest(range(64)) AS b)
+         GROUP BY doc_id, b),
+sigraw AS (SELECT doc_id,
+                  sum(CASE WHEN s >= 0 THEN (1::HUGEINT << bit)
+                      ELSE 0 END) AS v
+           FROM bits GROUP BY doc_id),
+sig AS (SELECT doc_id,
+               (CASE WHEN v >= 9223372036854775808
+                     THEN v - 18446744073709551616
+                     ELSE v END)::BIGINT AS simhash
+        FROM sigraw)"""
+
+
 def dedup_oracles(sf_dir: str) -> dict[str, str]:
     p = synth.ensure_synth(sf_dir)
     shingle_cte = _doc_shingle_cte(p["docs"])
+    simhash_cte = _simhash_cte(p["docs"])
     return {
+        "docs_simhash": f"""
+            WITH {simhash_cte}
+            SELECT doc_id, simhash FROM sig""",
+        # brute-force cross join over all pairs — the oracle for the banded
+        # (exact for hamming<=3) LSH path
+        "docs_simhash_pairs": f"""
+            WITH {simhash_cte}
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "docs_exact_dedup": f"""
             SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
                    count(*) AS n_copies
@@ -252,6 +302,23 @@ def text_oracles() -> dict[str, str]:
                        FROM documents),
             c AS (SELECT doc_id, {lang_counts} FROM t)
             SELECT doc_id, {pick} AS lang_pred FROM c""",
+        # integer-quantized tf-idf (tf * 1e6 // df) so numpy and SQL rank
+        # bit-identically; ties break by term
+        "docs_tfidf_topk": """
+            WITH tf AS (
+              SELECT doc_id, tok AS term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              GROUP BY doc_id, tok),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            j AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                         (tf.tf * 1000000) // df.df AS score
+                  FROM tf JOIN df USING (term)),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY score DESC, term)
+                         AS rank
+                  FROM j)
+            SELECT doc_id, rank, term, tf, df FROM r WHERE rank <= 5""",
         "docs_fingerprint": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                        FROM documents),
@@ -286,6 +353,20 @@ def ann_oracles(sf_dir: str) -> dict[str, str]:
                              AS rank
                   FROM s)
             SELECT query_id, rank, vec_id FROM r WHERE rank <= 10""",
+        # nearest-centroid assignment: centroids are the vec_id < 16
+        # corpus vectors (deterministic seed choice mirrored by
+        # ann.centroid_assign); ties toward the lowest centroid id
+        "vecs_centroid_assign": """
+            WITH c AS (SELECT vec_id AS cid, embedding AS ce
+                       FROM embeddings WHERE vec_id < 16),
+            s AS (SELECT e.vec_id, c.cid,
+                         list_cosine_similarity(e.embedding, c.ce) AS sim
+                  FROM embeddings e CROSS JOIN c),
+            r AS (SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY sim DESC, cid) AS rk
+                  FROM s)
+            SELECT vec_id, cid AS centroid_id FROM r WHERE rk = 1""",
         "vecs_near_dup_exact": f"""
             WITH e AS (SELECT vec_id, embedding
                        FROM read_parquet('{p["vecs"]}'))

@@ -66,6 +66,10 @@ def events_props_sum(sf_dir: str):
     return windows.props_value_sum(_events(sf_dir))
 
 
+def events_hopping(sf_dir: str):
+    return windows.hopping_counts(_events(sf_dir))
+
+
 # --- dedup family (synthetic duplicate-bearing corpus) ----------------------
 
 def docs_exact_dedup(sf_dir: str):
@@ -82,6 +86,10 @@ def docs_ngram_pairs(sf_dir: str):
 
 def docs_simhash(sf_dir: str):
     return dedup_docs.simhash_docs(_docs_dup(sf_dir))
+
+
+def docs_simhash_pairs(sf_dir: str):
+    return dedup_docs.simhash_pairs(_docs_dup(sf_dir))
 
 
 # --- text analysis (shared documents table) ---------------------------------
@@ -102,6 +110,10 @@ def docs_fingerprint(sf_dir: str):
     return textstats.fingerprints(_documents(sf_dir))
 
 
+def docs_tfidf_topk(sf_dir: str):
+    return textstats.tfidf_topk(_documents(sf_dir))
+
+
 # --- similarity search ------------------------------------------------------
 
 def ann_topk(sf_dir: str):
@@ -116,6 +128,12 @@ def ann_ivf_topk(sf_dir: str):
         _read(os.path.join(sf_dir, "embeddings.parquet"),
               columns=["vec_id", "embedding"]),
         ANN_QUERY_IDS)
+
+
+def vecs_centroid_assign(sf_dir: str):
+    return ann.centroid_assign(
+        _read(os.path.join(sf_dir, "embeddings.parquet"),
+              columns=["vec_id", "embedding"]))
 
 
 def vecs_near_dup_exact(sf_dir: str):

@@ -249,6 +249,41 @@ def ivf_topk(vec_ds, query_ids: list[int], k: int = 10,
     return bucketed_map_groups(partials, ["query_id"], combine, n_buckets=8)
 
 
+def centroid_assign(vec_ds, n_centroids: int = 16):
+    """Nearest-centroid assignment — the partition step of k-means / IVF
+    clustering as a standalone operator. Centroids are the corpus vectors
+    with ``vec_id < n_centroids`` (deterministic seed choice, so a SQL
+    oracle can reproduce the exact same clustering). Returns
+    (vec_id, centroid_id); ties broken toward the lowest centroid id
+    (numpy argmax-first == SQL row_number ORDER BY sim DESC, cid).
+
+    Scale topology: the centroid matrix is tiny and broadcast once
+    (``ray.put``); every batch does one matmul — the corpus is never
+    shuffled, output streams."""
+
+    def grab_seeds(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[b["vec_id"] < n_centroids]
+        return m[["vec_id", "embedding"]]
+
+    sdf = vec_ds.map_batches(grab_seeds, batch_format="pandas").to_pandas()
+    sdf = sdf.sort_values("vec_id").reset_index(drop=True)
+    if not len(sdf):
+        raise ValueError("centroid_assign: no vectors with "
+                         f"vec_id < {n_centroids} to seed centroids")
+    smat = _normalize(_mat(sdf["embedding"]))
+    ref = ray.put((sdf["vec_id"].to_numpy(), smat))
+
+    def assign(b: pd.DataFrame, *, ref) -> pd.DataFrame:
+        cids, sm = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        vm = _normalize(_mat(b["embedding"]))
+        best = np.argmax(vm @ sm.T, axis=1)   # first max → lowest cid
+        return pd.DataFrame({"vec_id": b["vec_id"].to_numpy(),
+                             "centroid_id": cids[best]})
+
+    return vec_ds.map_batches(assign, fn_kwargs={"ref": ref},
+                              batch_format="pandas")
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 1234) -> np.ndarray:
     """Seeded-deterministic hyperplanes, cached per (dim, n_planes, seed) —
     identical in every task that asks for the same shape, so they need no

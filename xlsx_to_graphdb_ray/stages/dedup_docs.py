@@ -13,7 +13,8 @@ Operators:
 - MinHash + LSH        → shingle → K md5-seeded minhashes → band buckets →
                          candidate pairs per bucket → exact-Jaccard verify
 - n-gram Jaccard pairs → inverted shingle index join → pairwise verify
-- SimHash              → 64-bit md5-derived simhash per doc (Hamming buckets)
+- SimHash              → 64-bit md5-derived simhash per doc + banded
+                         Hamming-LSH pairs (exact for hamming ≤ 3)
 - embedding near-dup   → see stages/ann.py (cosine blocking)
 """
 
@@ -319,8 +320,8 @@ def simhash_docs(docs_ds):
     single ``np.add.reduceat`` over the exploded token matrix — no per-doc
     per-token Python loop.
 
-    NOTE: no SQL oracle (bit twiddling); covered by the rows-only check +
-    unit tests (near-dup docs differ in ≤ ~12 of 64 bits).
+    Oracle-checked bit-for-bit (``docs_simhash``): DuckDB reproduces the
+    DISTINCT-token md5→uint64 planes and the per-bit ±1 sums in SQL.
     """
 
     def sim(b: pd.DataFrame) -> pd.DataFrame:
@@ -343,11 +344,85 @@ def simhash_docs(docs_ds):
         acc = np.add.reduceat(doc_rows, offsets, axis=0)   # (n_docs, 64)
         bits = (acc >= 0).astype(np.uint64)
         out = np.bitwise_or.reduce(bits << shifts, axis=1)
+        # two's-complement reinterpret → plain int64 column (the SQL oracle
+        # folds its HUGEINT the same way)
         return pd.DataFrame({"doc_id": b["doc_id"].values,
-                             "simhash": out.astype("int64").astype(object)})
+                             "simhash": out.view(np.int64)})
 
     return docs_ds.map_batches(sim, batch_format="pandas")
 
 
 def hamming(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count)."""
+    return np.unpackbits(x.astype(np.uint64).view(np.uint8)) \
+        .reshape(-1, 8 * 8).sum(axis=1)
+
+
+def simhash_pairs(docs_ds, max_hamming: int = 3):
+    """SimHash near-dup pairs: (doc_a, doc_b, hamming ≤ ``max_hamming``).
+
+    Banded Hamming LSH that is EXACT, not approximate: the 64-bit
+    signature splits into 4 disjoint 16-bit bands, and by pigeonhole any
+    pair differing in ≤3 bits agrees on at least one whole band — so
+    bucketing on (band_idx, band_bits) finds every qualifying pair while
+    only ever comparing within buckets (never all-pairs). Completeness
+    holds for ``max_hamming ≤ 3``; the full-cross-join SQL oracle verifies
+    it (``docs_simhash_pairs``).
+
+    Scale: each band row is 24 bytes (band_key, doc_id, sig) — no payload
+    duplication through the exchange (cf. the MinHash band-payload lesson);
+    65k bucket keys per band spread the shuffle; in-bucket pair fan-out is
+    capped at MAX_GROUP_MEMBERS against adversarial hot buckets.
+    """
+    if max_hamming > 3:
+        raise ValueError("4x16-bit banding is only complete for "
+                         "max_hamming <= 3")
+    sigs = simhash_docs(docs_ds)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"band_key": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "sig": pd.Series([], dtype="int64")})
+        sig = b["simhash"].to_numpy(dtype="int64").view(np.uint64)
+        n = len(sig)
+        bands = np.arange(4, dtype=np.uint64)
+        keys = (np.repeat(bands, n) << np.uint64(16)) \
+            | ((np.tile(sig, 4) >> np.repeat(bands * np.uint64(16), n))
+               & np.uint64(0xFFFF))
+        return pd.DataFrame({
+            "band_key": keys.astype(np.int64),
+            "doc_id": np.tile(b["doc_id"].to_numpy(), 4),
+            "sig": np.tile(sig, 4).view(np.int64),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("band_key", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("doc_id").head(MAX_GROUP_MEMBERS)
+            ids = grp["doc_id"].to_numpy()
+            sig = grp["sig"].to_numpy(dtype="int64").view(np.uint64)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            ham = _popcount64(sig[iu] ^ sig[ju])
+            keep = ham <= max_hamming
+            out.append(pd.DataFrame({"doc_a": ids[iu[keep]],
+                                     "doc_b": ids[ju[keep]],
+                                     "hamming": ham[keep].astype(np.int64)}))
+        if not out:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    exploded = sigs.map_batches(explode, batch_format="pandas")
+    cand = bucketed_map_groups(exploded, ["band_key"], bucket_pairs,
+                               n_buckets=16)
+    # a pair can collide in up to 4 bands → distinct
+    return grouped_distinct(cand, ["doc_a", "doc_b", "hamming"],
+                            n_buckets=16)

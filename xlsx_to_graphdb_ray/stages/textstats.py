@@ -182,3 +182,61 @@ def fingerprints(docs_ds, w: int = FINGERPRINT_W):
         return pd.DataFrame({"doc_id": b["doc_id"].values, "fp": mins})
 
     return docs_ds.map_batches(fp, batch_format="pandas")
+
+
+TFIDF_SCALE = 1_000_000
+
+
+def tfidf_topk(docs_ds, k: int = 5):
+    """Top-k distinguishing terms per document by inverse-document-
+    frequency-weighted term frequency.
+
+    The score is the integer-quantized ratio ``tf * 1_000_000 // df`` —
+    rarer-in-corpus terms rank higher, like classic tf-idf, but the score
+    is pure integer arithmetic, so numpy and the SQL oracle rank
+    bit-identically (a float ``tf * ln(N/df)`` would hang the ordering on
+    cross-engine libm ulps). Ties break by term. Returns
+    (doc_id, rank, term, tf, df).
+
+    Distributed as the classic two-pass plan with NO driver-side
+    vocabulary: (1) per-doc term counts, vectorized explode inside
+    ``map_batches``; (2) document frequency via the pre-combined grouped
+    count (per-block partials → narrow bucket exchange); (3) tf ⋈ df by a
+    bucketed hash join on term (scale-safe for vocabularies too big to
+    broadcast); (4) per-doc top-k inside one more bucketed exchange.
+    """
+    from .joins import hash_join
+    from .shuffle import bucketed_map_groups, grouped_agg
+
+    def tf_batch(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.set_index("doc_id")["text"].fillna("").str.split(" ").explode()
+        tf = s.groupby([s.index, s.values]).size().rename("tf").reset_index()
+        tf.columns = ["doc_id", "term", "tf"]
+        # pin dtypes: an empty batch would otherwise emit object/float64
+        # columns that poison the unified block schema downstream
+        return pd.DataFrame({"doc_id": tf["doc_id"].astype("int64"),
+                             "term": tf["term"].astype(str),
+                             "tf": tf["tf"].astype("int64")})
+
+    tf = docs_ds.map_batches(tf_batch, batch_format="pandas")
+    # df = number of docs containing the term: tf already has one row per
+    # (doc, term), so a grouped count over term IS the document frequency
+    df = grouped_agg(tf, ["term"], [("df", None, "count")], n_buckets=16)
+    joined = hash_join(tf, df, on=["term"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(score=(g["tf"].astype("int64") * TFIDF_SCALE)
+                     // g["df"].astype("int64"))
+        g = g.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rank"] = g.groupby("doc_id", sort=False).cumcount() + 1
+        g = g[g["rank"] <= k]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64").to_numpy(),
+            "rank": g["rank"].astype("int64").to_numpy(),
+            "term": g["term"].to_numpy(),
+            "tf": g["tf"].astype("int64").to_numpy(),
+            "df": g["df"].astype("int64").to_numpy(),
+        })
+
+    return bucketed_map_groups(joined, ["doc_id"], topk, n_buckets=16)

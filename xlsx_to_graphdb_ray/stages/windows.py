@@ -16,12 +16,13 @@ the order-sensitive anaphora stage uses:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pandas.util
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .shuffle import grouped_agg, bucketed_map_groups  # noqa: F401
+from .shuffle import grouped_agg, bucketed_map_groups, partition_map  # noqa: F401
 
 N_BUCKETS = 64
 SESSION_GAP_MIN = 30
@@ -38,6 +39,43 @@ def tumbling_counts(events_ds, unit: str = "hour"):
         })
 
     agg = grouped_agg(events_ds.map_batches(win, batch_format="pyarrow"),
+                      ["window_start", "event_type"],
+                      [("n", None, "count"), ("sum_value", "value", "sum")],
+                      n_buckets=16)
+    return agg.map_batches(
+        lambda b: b.assign(sum_value=b["sum_value"].round(2)),
+        batch_format="pandas")
+
+
+def hopping_counts(events_ds, window_min: int = 60, slide_min: int = 30):
+    """Hopping (sliding) windows: length ``window_min``, stride
+    ``slide_min`` — each event lands in window_min/slide_min overlapping
+    windows. Returns (window_start, event_type, n, sum_value).
+
+    Vectorized fan-out: per batch, rows are ``np.repeat``-ed W/S times
+    with window starts ``floor(ts/S)*S - i*S`` (all of which contain the
+    event when S divides W), then the same two-phase pre-combined
+    aggregation as ``tumbling_counts`` — fan-out happens BEFORE the
+    pre-combine, so the exchange still ships one partial row per
+    (window, type, block), not per event."""
+    if window_min % slide_min:
+        raise ValueError("slide must divide window")
+    w_us = window_min * 60_000_000
+    s_us = slide_min * 60_000_000
+    k = window_min // slide_min
+
+    def fan_out(b: pd.DataFrame) -> pd.DataFrame:
+        e = b["ts"].astype("int64").to_numpy()
+        base = (e // s_us) * s_us
+        starts = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * s_us, len(b))
+        return pd.DataFrame({
+            "window_start": pd.to_datetime(starts, unit="us"),
+            "event_type": np.repeat(b["event_type"].to_numpy(), k),
+            "value": np.repeat(b["value"].to_numpy(), k),
+        })
+
+    agg = grouped_agg(events_ds.map_batches(fan_out, batch_format="pandas"),
                       ["window_start", "event_type"],
                       [("n", None, "count"), ("sum_value", "value", "sum")],
                       n_buckets=16)
@@ -74,8 +112,7 @@ def sessionize(events_ds, gap_minutes: int = SESSION_GAP_MIN):
 
     bucketed = events_ds.map_batches(
         lambda b: _bucket(b, "user_id", N_BUCKETS), batch_format="pandas")
-    return bucketed.groupby("__bucket").map_groups(
-        per_bucket, batch_format="pandas")
+    return partition_map(bucketed, "__bucket", per_bucket)
 
 
 def type_transitions(events_ds):
@@ -120,8 +157,8 @@ def props_value_sum(events_ds):
 def bucketed_map_groups_events(events_ds, fn, n_buckets: int = N_BUCKETS):
     bucketed = events_ds.map_batches(
         lambda b: _bucket(b, "user_id", n_buckets), batch_format="pandas")
-    return bucketed.groupby("__bucket").map_groups(
-        lambda g: fn(g.drop(columns="__bucket")), batch_format="pandas")
+    return partition_map(bucketed, "__bucket",
+                         lambda g: fn(g.drop(columns="__bucket")))
 
 
 def next_event_join(events_ds, from_type: str = "view",
@@ -151,5 +188,4 @@ def next_event_join(events_ds, from_type: str = "view",
 
     bucketed = events_ds.map_batches(
         lambda b: _bucket(b, "user_id", N_BUCKETS), batch_format="pandas")
-    return bucketed.groupby("__bucket").map_groups(
-        per_bucket, batch_format="pandas")
+    return partition_map(bucketed, "__bucket", per_bucket)
