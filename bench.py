@@ -100,6 +100,10 @@ def run_bench() -> dict:
     timed("docs_lang_id", tr.docs_lang_id)
     timed("docs_fingerprint", tr.docs_fingerprint)
     timed("docs_tfidf_topk", tr.docs_tfidf_topk)
+    timed("docs_chunk_seqs", tr.docs_chunk_seqs)
+    timed("docs_top_bigrams", tr.docs_top_bigrams)
+    timed("docs_split", tr.docs_split)
+    timed("docs_sample", tr.docs_sample)
     timed("ann_topk", tr.ann_topk)
     timed("ann_ivf_topk", tr.ann_ivf_topk)
     timed("vecs_centroid_assign", tr.vecs_centroid_assign)
@@ -111,6 +115,7 @@ def run_bench() -> dict:
     timed("events_type_transitions", tr.events_type_transitions)
     timed("events_props_sum", tr.events_props_sum)
     timed("events_hopping", tr.events_hopping)
+    timed("events_value_quantiles", tr.events_value_quantiles)
     timed("vers_latest", tp.versions_latest)
     timed("vers_evolves_to", tp.versions_evolves_to)
     timed("changes_by_type", ch.changes_by_type)

@@ -263,3 +263,63 @@ def test_ivf_nondense_ids(ray_session):
     vecs = ray.data.from_items(rows)
     out = ann.ivf_topk(vecs, [1_000_000], k=5).to_pandas()
     assert len(out) == 5
+
+
+def test_chunk_sequences_boundary_math(ray_session):
+    """Docs of 1, 63, 64, 65, 130 tokens → exact chunk layouts."""
+    from xlsx_to_graphdb_ray.stages import textstats
+    sizes = [1, 63, 64, 65, 130]
+    df = pd.DataFrame({"doc_id": range(len(sizes)),
+                       "text": [" ".join(["w"] * s) for s in sizes]})
+    out = textstats.chunk_sequences(
+        ray.data.from_pandas(df)).to_pandas() \
+        .sort_values(["doc_id", "seq_idx"]).reset_index(drop=True)
+    expect = []
+    for d, s in enumerate(sizes):
+        full, rem = divmod(s, 64)
+        expect += [(d, i, 64) for i in range(full)]
+        if rem:
+            expect.append((d, full, rem))
+    assert list(map(tuple, out.to_numpy())) == expect
+
+
+def test_hash_split_deterministic_and_partitioned(ray_session):
+    from xlsx_to_graphdb_ray.stages import sampling
+    df = pd.DataFrame({"doc_id": range(2000)})
+    a = sampling.hash_split(ray.data.from_pandas(df)).to_pandas()
+    b = sampling.hash_split(ray.data.from_pandas(df)).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)          # run-over-run stable
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.75 < frac["train"] < 0.85           # ~80/10/10
+    assert 0.05 < frac["val"] < 0.15
+    assert 0.05 < frac["test"] < 0.15
+
+
+def test_hash_sample_independent_of_split(ray_session):
+    """The salted sample must not be a prefix of the split buckets."""
+    from xlsx_to_graphdb_ray.stages import sampling
+    df = pd.DataFrame({"doc_id": range(2000)})
+    ds = ray.data.from_pandas(df)
+    sample = set(sampling.hash_sample(ds).to_pandas()["doc_id"])
+    split = sampling.hash_split(ds).to_pandas().set_index("doc_id")["split"]
+    assert 0.02 < len(sample) / 2000 < 0.09      # ~5%
+    # sampled ids should span train AND non-train (independence of draws)
+    kinds = {split[i] for i in sample}
+    assert "train" in kinds and len(kinds) > 1
+
+
+def test_value_quantiles_exact_rank(ray_session):
+    """Rank formula ceil(n*p/100) against a hand-computed tiny group."""
+    from xlsx_to_graphdb_ray.stages import windows
+    vals = [5.0, 1.0, 4.0, 2.0, 3.0]             # sorted: 1 2 3 4 5
+    df = pd.DataFrame({"event_type": ["x"] * 5, "value": vals,
+                       "event_id": range(5),
+                       "user_id": [0] * 5,
+                       "ts": pd.to_datetime([0] * 5, unit="s"),
+                       "props": ["{}"] * 5})
+    out = windows.value_quantiles(ray.data.from_pandas(df)).to_pandas() \
+        .set_index("pct")["value"]
+    # n=5: p50 → rank ceil(2.5)=3 → 3.0; p90 → ceil(4.5)=5 → 5.0; p99 → 5.0
+    assert out[50] == 3.0 and out[90] == 5.0 and out[99] == 5.0

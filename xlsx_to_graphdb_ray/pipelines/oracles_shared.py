@@ -96,6 +96,17 @@ def stream_oracles() -> dict[str, str]:
             SELECT window_start, event_type, count(*) AS n,
                    round(sum(value), 2) AS sum_value
             FROM w GROUP BY 1, 2""",
+        # exact per-type quantiles at integer rank ceil(n*pct/100)
+        "events_value_quantiles": """
+            WITH v AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS rk,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events),
+            p AS (SELECT unnest([50, 90, 99]) AS pct)
+            SELECT v.event_type, p.pct::BIGINT AS pct, v.value
+            FROM v JOIN p ON v.rk = (v.n * p.pct + 99) // 100""",
         "events_next_purchase": """
             SELECT v.event_id, v.user_id,
                    coalesce((SELECT p.event_id FROM events p
@@ -319,6 +330,39 @@ def text_oracles() -> dict[str, str]:
                          AS rank
                   FROM j)
             SELECT doc_id, rank, term, tf, df FROM r WHERE rank <= 5""",
+        # fixed-length (64-token) sequence-packing boundaries per doc
+        "docs_chunk_seqs": """
+            WITH t AS (SELECT doc_id,
+                              len(string_split(text, ' ')) AS n
+                       FROM documents),
+            s AS (SELECT doc_id, n, unnest(range((n + 63) // 64)) AS seq_idx
+                  FROM t)
+            SELECT doc_id, seq_idx,
+                   least(64, n - seq_idx * 64) AS n_tokens
+            FROM s""",
+        # corpus top-20 token bigrams; ties by bigram text
+        "docs_top_bigrams": """
+            WITH t AS (SELECT string_split(text, ' ') AS toks
+                       FROM documents),
+            b AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+                                 for i in range(1, len(toks))]) AS bigram
+                  FROM t)
+            SELECT bigram, count(*) AS n FROM b
+            GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+        # deterministic md5-keyed train/val/test split (80/10/10)
+        "docs_split": """
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                             ::BIGINT % 100 < 80 THEN 'train'
+                        WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                             ::BIGINT % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents""",
+        # salted ~5% Bernoulli subsample, independent of the split draw
+        "docs_sample": """
+            SELECT doc_id FROM documents
+            WHERE ('0x' || substr(md5('s|' || doc_id::VARCHAR), 1, 8))
+                  ::BIGINT % 100 < 5""",
         "docs_fingerprint": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                        FROM documents),

@@ -15,7 +15,8 @@ import ray.data
 
 from .. import synth
 from ..config import tune_context
-from ..stages import ann, dedup_docs, multimodal, textstats, windows
+from ..stages import (ann, dedup_docs, multimodal, sampling, textstats,
+                      windows)
 from ..state.checkpoint import default_blocks
 
 ANN_QUERY_IDS = [0, 1, 2]
@@ -70,6 +71,10 @@ def events_hopping(sf_dir: str):
     return windows.hopping_counts(_events(sf_dir))
 
 
+def events_value_quantiles(sf_dir: str):
+    return windows.value_quantiles(_events(sf_dir))
+
+
 # --- dedup family (synthetic duplicate-bearing corpus) ----------------------
 
 def docs_exact_dedup(sf_dir: str):
@@ -112,6 +117,22 @@ def docs_fingerprint(sf_dir: str):
 
 def docs_tfidf_topk(sf_dir: str):
     return textstats.tfidf_topk(_documents(sf_dir))
+
+
+def docs_chunk_seqs(sf_dir: str):
+    return textstats.chunk_sequences(_documents(sf_dir))
+
+
+def docs_top_bigrams(sf_dir: str):
+    return textstats.top_bigrams(_documents(sf_dir))
+
+
+def docs_split(sf_dir: str):
+    return sampling.hash_split(_documents(sf_dir))
+
+
+def docs_sample(sf_dir: str):
+    return sampling.hash_sample(_documents(sf_dir))
 
 
 # --- similarity search ------------------------------------------------------

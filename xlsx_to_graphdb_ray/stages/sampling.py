@@ -1,0 +1,63 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+The standard training-data operations for carving a corpus: a stable
+train/val/test assignment and a Bernoulli subsample, both keyed on
+``md5(doc_id)`` so that (a) membership is reproducible run-over-run and
+engine-over-engine (the DuckDB oracles recompute the same md5), and
+(b) the operator is embarrassingly parallel — pure per-row kernels, no
+shuffle, no driver state, which is exactly what you want at 100 TB
+(sampling SHOULD be the cheapest stage in the pipeline).
+
+A salt string namespaces independent draws: ``hash_sample`` uses a salt so
+its 5% is NOT the first 5% of the train split (independent membership).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+TRAIN_PCT = 80
+VAL_PCT = 10
+SAMPLE_PCT = 5
+SAMPLE_SALT = "s|"
+
+
+def _hash_pct(ids, salt: str = "") -> np.ndarray:
+    """md5-derived bucket in [0, 100) per id — one md5 per row (ids are
+    unique, so the token-style memoization used elsewhere has no hits)."""
+    md5 = hashlib.md5
+    enc = salt.encode() if salt else b""
+    return np.fromiter(
+        (int(md5(enc + str(i).encode()).hexdigest()[:8], 16) % 100
+         for i in ids),
+        dtype=np.int64, count=len(ids))
+
+
+def hash_split(docs_ds, train_pct: int = TRAIN_PCT, val_pct: int = VAL_PCT):
+    """(doc_id, split) — deterministic train/val/test assignment:
+    bucket = md5(doc_id) % 100; < train_pct → 'train', < train+val →
+    'val', else 'test'."""
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_pct(b["doc_id"])
+        split = np.where(h < train_pct, "train",
+                         np.where(h < train_pct + val_pct, "val", "test"))
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "split": split})
+
+    return docs_ds.map_batches(assign, batch_format="pandas")
+
+
+def hash_sample(docs_ds, pct: int = SAMPLE_PCT, salt: str = SAMPLE_SALT):
+    """(doc_id) — deterministic ~pct% Bernoulli subsample by salted
+    md5(doc_id); independent of ``hash_split`` membership via the salt."""
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        keep = _hash_pct(b["doc_id"], salt=salt) < pct
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy()[keep].astype("int64")})
+
+    return docs_ds.map_batches(pick, batch_format="pandas")

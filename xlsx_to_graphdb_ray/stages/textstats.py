@@ -184,6 +184,85 @@ def fingerprints(docs_ds, w: int = FINGERPRINT_W):
     return docs_ds.map_batches(fp, batch_format="pandas")
 
 
+SEQ_LEN = 64
+
+
+def chunk_sequences(docs_ds, seq_len: int = SEQ_LEN):
+    """(doc_id, seq_idx, n_tokens) — fixed-length sequence packing
+    boundaries: each document's whitespace tokens split into chunks of
+    ``seq_len``, the LLM-pretraining "chunk documents into training
+    sequences" step (boundary metadata only; the text itself never fans
+    out). Pure per-row vectorized fan-out — token counts via Arrow list
+    kernels, chunk rows via np.repeat/arange offset arithmetic — so the
+    operator streams with no shuffle at all."""
+
+    def chunk(b: pa.Table) -> pa.Table:
+        text = pc.fill_null(b["text"], "")
+        nt = pc.list_value_length(pc.split_pattern(text, " ")) \
+            .to_numpy().astype(np.int64)          # >= 1: split("") == [""]
+        n_seqs = (nt + seq_len - 1) // seq_len
+        total = int(n_seqs.sum())
+        starts = np.zeros(len(n_seqs), dtype=np.int64)
+        np.cumsum(n_seqs[:-1], out=starts[1:])
+        seq_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, n_seqs)
+        n_tokens = np.minimum(seq_len, np.repeat(nt, n_seqs)
+                              - seq_idx * seq_len)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(
+                b["doc_id"].to_numpy(), n_seqs)),
+            "seq_idx": pa.array(seq_idx),
+            "n_tokens": pa.array(n_tokens),
+        })
+
+    return docs_ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def top_bigrams(docs_ds, k: int = 20):
+    """(bigram, n) — the corpus's top-k token bigrams (n-gram LM-style
+    corpus statistics). Ties break by bigram text.
+
+    Plan: per-batch bigram counts (one flatten + shifted string concat +
+    value_counts — the cross-document pairs are masked out by boundary
+    index arithmetic, no per-doc loop) → pre-combined grouped sum →
+    per-bucket local top-k (safe: each bigram is fully aggregated in one
+    bucket row) → single-block global top-k over ≤ k·n_buckets candidate
+    rows. The exchange ships per-block partial counts, never raw bigrams
+    per occurrence."""
+
+    from .shuffle import grouped_agg
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        text = pc.fill_null(t["text"], "")
+        toks = pc.split_pattern(text, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = toks.flatten().to_pandas()
+        if len(flat) < 2:
+            return pd.DataFrame({"bigram": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype="int64")})
+        bg = flat.iloc[:-1].reset_index(drop=True).str.cat(
+            flat.iloc[1:].reset_index(drop=True), sep=" ")
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        ends = np.cumsum(lengths)[:-1]        # flat idx where a new doc starts
+        valid[ends - 1] = False               # mask cross-document pairs
+        vc = bg[valid].value_counts()
+        return pd.DataFrame({"bigram": vc.index.astype(str),
+                             "n": vc.to_numpy().astype("int64")})
+
+    parts = docs_ds.map_batches(partial, batch_format="pyarrow")
+    counts = grouped_agg(parts, ["bigram"], [("n", "n", "sum")],
+                         n_buckets=16)
+
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n", "bigram"], ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    cand = counts.map_batches(topk, batch_size=None, batch_format="pandas")
+    return cand.repartition(1).map_batches(topk, batch_size=None,
+                                           batch_format="pandas")
+
+
 TFIDF_SCALE = 1_000_000
 
 

@@ -84,6 +84,39 @@ def hopping_counts(events_ds, window_min: int = 60, slide_min: int = 30):
         batch_format="pandas")
 
 
+QUANTILE_PCTS = (50, 90, 99)
+
+
+def value_quantiles(events_ds, pcts: tuple[int, ...] = QUANTILE_PCTS):
+    """(event_type, pct, value) — EXACT per-type quantiles: pct p maps to
+    the element at 1-based rank ``ceil(n·p/100)`` of the sorted values,
+    computed with pure integer rank arithmetic ``(n·p + 99) // 100`` so
+    numpy and the SQL oracle select the identical element (no float
+    rounding at rank boundaries).
+
+    Scale note: exact quantiles need each group's values co-located, and
+    event_type cardinality is tiny — so this is a deliberate hot-key-ok
+    design (one bucket holds one type's value vector; values are 8-byte
+    floats, 100 TB of events ≈ a few GB of values per type after the
+    column prune). Past that, swap the per-bucket kernel for a mergeable
+    sketch (KLL/t-digest) behind the same (type, pct, value) contract.
+    """
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, grp in g.groupby("event_type", sort=False):
+            v = np.sort(grp["value"].to_numpy())
+            n = len(v)
+            for p in pcts:
+                out.append((et, p, v[(n * p + 99) // 100 - 1]))
+        return pd.DataFrame(out, columns=["event_type", "pct", "value"])
+
+    pruned = events_ds.map_batches(
+        lambda b: b[["event_type", "value"]], batch_format="pandas")
+    return bucketed_map_groups(pruned, ["event_type"], per_bucket,
+                               n_buckets=8)
+
+
 def _bucket(df: pd.DataFrame, key: str, n: int) -> pd.DataFrame:
     df = df.copy()
     df["__bucket"] = (pandas.util.hash_pandas_object(
