@@ -96,6 +96,7 @@ def run_bench() -> dict:
     timed("docs_token_stats", tr.docs_token_stats)
     timed("docs_simhash", tr.docs_simhash)
     timed("docs_simhash_pairs", tr.docs_simhash_pairs)
+    timed("docs_dup_clusters", tr.docs_dup_clusters)
     timed("docs_quality", tr.docs_quality)
     timed("docs_lang_id", tr.docs_lang_id)
     timed("docs_fingerprint", tr.docs_fingerprint)

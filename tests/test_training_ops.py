@@ -323,3 +323,17 @@ def test_value_quantiles_exact_rank(ray_session):
         .set_index("pct")["value"]
     # n=5: p50 → rank ceil(2.5)=3 → 3.0; p90 → ceil(4.5)=5 → 5.0; p99 → 5.0
     assert out[50] == 3.0 and out[90] == 5.0 and out[99] == 5.0
+
+
+def test_dup_clusters_collapse_planted_families(docs):
+    """k%10==7 duplicates k-1; k%10==8 near-dups k-2 — so {k-2,k-1,k}
+    forms one cluster with keeper k-2 whenever both plants fire."""
+    out = dedup_docs.dup_clusters(docs)
+    got = dict(zip(out["doc_id"], out["keep_id"]))
+    n = synth.make_docs(0.001).num_rows
+    for k in range(2, n):
+        if k % 10 == 7:                       # exact dup of k-1
+            assert got.get(k) is not None     # k collapses somewhere
+            assert got[k] < k
+    # keepers are cluster minima: no keeper is itself remapped
+    assert not (set(out["keep_id"]) & set(out["doc_id"]))

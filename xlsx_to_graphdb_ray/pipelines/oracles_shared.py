@@ -210,23 +210,9 @@ def dedup_oracles(sf_dir: str) -> dict[str, str]:
     p = synth.ensure_synth(sf_dir)
     shingle_cte = _doc_shingle_cte(p["docs"])
     simhash_cte = _simhash_cte(p["docs"])
-    return {
-        "docs_simhash": f"""
-            WITH {simhash_cte}
-            SELECT doc_id, simhash FROM sig""",
-        # brute-force cross join over all pairs — the oracle for the banded
-        # (exact for hamming<=3) LSH path
-        "docs_simhash_pairs": f"""
-            WITH {simhash_cte}
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
-        "docs_exact_dedup": f"""
-            SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
-                   count(*) AS n_copies
-            FROM read_parquet('{p["docs"]}') GROUP BY md5(text)""",
-        "docs_minhash_pairs": f"""
+    # self-contained minhash-pairs query — used directly AND nested as the
+    # `pairs` CTE of the cluster-collapse oracle
+    minhash_pairs_sql = f"""
             WITH {shingle_cte},
             minh AS (
               SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || s)) AS mh
@@ -253,7 +239,38 @@ def dedup_oracles(sf_dir: str) -> dict[str, str]:
             FROM shared s
             JOIN ns na ON na.doc_id = s.da
             JOIN ns nb ON nb.doc_id = s.db
-            WHERE s.sh_n * 1.0 / (na.n + nb.n - s.sh_n) >= {JACCARD_T}""",
+            WHERE s.sh_n * 1.0 / (na.n + nb.n - s.sh_n) >= {JACCARD_T}"""
+    return {
+        "docs_simhash": f"""
+            WITH {simhash_cte}
+            SELECT doc_id, simhash FROM sig""",
+        # brute-force cross join over all pairs — the oracle for the banded
+        # (exact for hamming<=3) LSH path
+        "docs_simhash_pairs": f"""
+            WITH {simhash_cte}
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+        "docs_exact_dedup": f"""
+            SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM read_parquet('{p["docs"]}') GROUP BY md5(text)""",
+        "docs_minhash_pairs": minhash_pairs_sql,
+        # near-dup cluster collapse: connected components of the minhash
+        # pair graph (recursive reachability), member → min-id keeper
+        "docs_dup_clusters": f"""
+            WITH RECURSIVE pairs AS ({minhash_pairs_sql}),
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+              WHERE e.v <> r.u),
+            canon AS (SELECT u AS doc_id, least(u, min(v)) AS keep_id
+                      FROM reach GROUP BY u)
+            SELECT doc_id, keep_id FROM canon WHERE keep_id <> doc_id""",
         "docs_ngram_pairs": f"""
             WITH {shingle_cte},
             freq AS (SELECT s, count(*) AS df FROM exploded GROUP BY s

@@ -97,6 +97,10 @@ def docs_simhash_pairs(sf_dir: str):
     return dedup_docs.simhash_pairs(_docs_dup(sf_dir))
 
 
+def docs_dup_clusters(sf_dir: str):
+    return dedup_docs.dup_clusters(_docs_dup(sf_dir))
+
+
 # --- text analysis (shared documents table) ---------------------------------
 
 def docs_token_stats(sf_dir: str):

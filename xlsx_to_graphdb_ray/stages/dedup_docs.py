@@ -239,6 +239,28 @@ def minhash_lsh_pairs(docs_ds, jaccard_t: float = JACCARD_T):
     return j2.map_batches(verify, batch_format="pandas")
 
 
+def dup_clusters(docs_ds, jaccard_t: float = JACCARD_T):
+    """(doc_id, keep_id) — collapse near-duplicates into clusters: the
+    connected components of the MinHash near-dup pair graph, each member
+    mapped to its cluster's MIN doc_id (the kept representative). Only
+    non-representative members are returned — the delta removal map a
+    dedup filter consumes directly (docs in no cluster keep themselves).
+
+    Components via ``stages/canonicalize.sameas_components``: union-find
+    on the driver while the PAIR list (already tiny relative to the
+    corpus) fits ``DRIVER_LIMIT``, distributed min-label propagation past
+    it — same dual-path contract as the sameAs canonicalization.
+    """
+    from .canonicalize import sameas_components
+
+    pairs = minhash_lsh_pairs(docs_ds, jaccard_t=jaccard_t).map_batches(
+        lambda b: pd.DataFrame({"a_id": b["doc_a"], "b_id": b["doc_b"]}),
+        batch_format="pandas")
+    delta = sameas_components(pairs)
+    return pd.DataFrame({"doc_id": delta["entity_id"].astype("int64"),
+                         "keep_id": delta["canon_id"].astype("int64")})
+
+
 def ngram_jaccard_pairs(docs_ds, jaccard_t: float = JACCARD_T):
     """Exact n-gram-Jaccard near-dup join (no sketching): inverted shingle
     index → co-occurring doc pairs → full verify. The candidate generator
