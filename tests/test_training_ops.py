@@ -43,6 +43,24 @@ def test_minhash_recovers_near_dups(docs):
     assert got <= (planted_exact | planted_near)
 
 
+def test_minhash_dispatch_tiers_agree(docs, monkeypatch):
+    """All three dispatch tiers (driver-group / exchange+driver-verify /
+    full hash-join) must produce identical pairs."""
+    key = ["doc_a", "doc_b"]
+
+    def run():
+        return dedup_docs.minhash_lsh_pairs(docs).to_pandas() \
+            .sort_values(key).reset_index(drop=True)
+
+    tier_a = run()                                     # band rows on driver
+    monkeypatch.setattr(dedup_docs, "BAND_DRIVER_LIMIT", 1)
+    tier_b = run()                                     # exchange, pairs on driver
+    monkeypatch.setattr(dedup_docs, "PAIR_DRIVER_LIMIT", 1)
+    tier_c = run()                                     # fully distributed joins
+    pd.testing.assert_frame_equal(tier_a, tier_b, check_like=True)
+    pd.testing.assert_frame_equal(tier_a, tier_c, check_like=True)
+
+
 def test_simhash_hamming_separates(docs):
     sims = dedup_docs.simhash_docs(docs).to_pandas() \
         .set_index("doc_id")["simhash"]

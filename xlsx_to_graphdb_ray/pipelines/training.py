@@ -22,10 +22,11 @@ from ..state.checkpoint import default_blocks
 ANN_QUERY_IDS = [0, 1, 2]
 
 
-def _read(path: str, columns=None):
+def _read(path: str, columns=None, rows_per_block: int = 2048):
     tune_context()
     from ..state.checkpoint import read_parquet_auto
-    return read_parquet_auto(path, columns=columns)
+    return read_parquet_auto(path, columns=columns,
+                             rows_per_block=rows_per_block)
 
 
 def _events(sf_dir: str):
@@ -38,7 +39,11 @@ def _documents(sf_dir: str):
 
 
 def _docs_dup(sf_dir: str):
-    return _read(synth.ensure_synth(sf_dir)["docs"])
+    # shingle/minhash/fingerprint stages cost ~100-200 µs of md5 per doc —
+    # fan small doc tables wider than the generic 2048-row floor (256 was
+    # measured fastest at sf0.1: finer splits are dispatch-bound, coarser
+    # ones leave CPUs idle)
+    return _read(synth.ensure_synth(sf_dir)["docs"], rows_per_block=256)
 
 
 def _vecs_dup(sf_dir: str):

@@ -25,6 +25,8 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
+import ray.data
 
 from .joins import hash_join
 from .shuffle import bucketed_map_groups, grouped_agg, grouped_distinct
@@ -163,20 +165,45 @@ def minhash_signatures(b: pd.DataFrame, k: int = K_HASHES,
 # en masse and any MAX_GROUP_MEMBERS representatives carry the signal.
 MAX_GROUP_MEMBERS = 512
 
+# candidate-pair volume above which minhash verification switches from the
+# broadcast semi-join fast path (collect pairs, ray.put the involved-id set,
+# one filtered streaming pass) to the fully-distributed hash-join path
+PAIR_DRIVER_LIMIT = 500_000
+
+# lean (band_key, doc_id) row volume (= N_BANDS × n_docs, ~70 B/row) under
+# which candidate generation runs as one driver-side pandas groupby instead
+# of a hash exchange — the exchange's fixed aggregator startup dwarfs the
+# group work at this size (same guarded dual-path as closure's edge collect)
+BAND_DRIVER_LIMIT = 2_000_000
+
 
 def minhash_lsh_pairs(docs_ds, jaccard_t: float = JACCARD_T):
     """Near-dup pairs via MinHash banding + exact verification.
 
     shingle→minhash per batch → explode to lean (band_key, doc_id) rows →
-    groupby band bucket → candidate id pairs within bucket → hash-join the
-    deduped candidates back against a ONE-COPY (doc_id, shingles) side →
-    exact Jaccard ≥ ``jaccard_t``. Returns (doc_a, doc_b, jaccard) with
+    groupby band bucket → candidate id pairs within bucket → exact-Jaccard
+    verify of the candidates. Returns (doc_a, doc_b, jaccard) with
     doc_a < doc_b, jaccard rounded to 6 dp.
 
     Scale shape: the band exchange carries only ids + band keys (the
     round-2 version duplicated each doc's full shingle set across its
-    N_BANDS band rows — ~8× corpus shingle bytes through the shuffle);
-    shingle sets transit exactly once, joined to the (few) candidates.
+    N_BANDS band rows — ~8× corpus shingle bytes through the shuffle).
+    The verify stage is dual-path on the candidate volume, like
+    ``canonicalize``/``closure``:
+
+    - band rows ≤ ``BAND_DRIVER_LIMIT`` (N_BANDS × n_docs lean rows):
+      candidate generation is one driver-side pandas groupby — ZERO
+      exchanges end-to-end;
+    - else candidates ≤ ``PAIR_DRIVER_LIMIT``: one band-bucket exchange
+      generates candidates distributed, the id pairs collect to the driver;
+    - in both cases the verify broadcasts the involved-id set (``ray.put``
+      once), filter-and-shingles ONLY those docs in a single streaming
+      pass over the corpus (no shuffle), and intersects driver-side —
+      near-dup pairs are a sliver of the corpus, so this is the
+      overwhelmingly common regime;
+    - past both guards: hash-join the deduped candidates back against a
+      one-copy (doc_id, shingles) side — each shingle set transits the
+      exchange exactly once.
     """
     rows_per_band = K_HASHES // N_BANDS
 
@@ -202,8 +229,48 @@ def minhash_lsh_pairs(docs_ds, jaccard_t: float = JACCARD_T):
         return pd.DataFrame(out, columns=["doc_a", "doc_b"])
 
     banded = docs_ds.map_batches(bands, batch_format="pandas")
-    cand = bucketed_map_groups(banded, ["band_key"], bucket_pairs)
-    # a pair can collide in several bands → dedup before the verify joins
+
+    # --- fast path A: lean band rows fit the driver → no exchange at all ----
+    try:
+        pairs = bucket_pairs(banded.to_pandas(limit=BAND_DRIVER_LIMIT))
+    except ValueError:
+        # --- fast path B: exchange for candidates, collect the id pairs -----
+        cand = bucketed_map_groups(banded, ["band_key"], bucket_pairs)
+        try:
+            pairs = cand.to_pandas(limit=PAIR_DRIVER_LIMIT)
+        except ValueError:
+            pairs = None
+    if pairs is not None:
+        # a pair can collide in several bands → dedup (driver-side here;
+        # the fallback uses the grouped_distinct exchange instead)
+        pairs = pairs.drop_duplicates(ignore_index=True)
+        ids = np.unique(pairs[["doc_a", "doc_b"]].to_numpy().ravel()) \
+            if len(pairs) else np.empty(0, dtype=np.int64)
+        ids_ref = ray.put(np.sort(ids.astype(np.int64)))
+
+        def sh_of_candidates(b: pd.DataFrame) -> pd.DataFrame:
+            want = ray.get(ids_ref)
+            sub = b[np.isin(b["doc_id"].to_numpy(), want)]
+            return pd.DataFrame({
+                "doc_id": sub["doc_id"].values,
+                "sh": ["\x1f".join(shingles(t)) for t in sub["text"]]})
+
+        sh_df = docs_ds.map_batches(sh_of_candidates, batch_format="pandas") \
+            .to_pandas() if len(ids) else pd.DataFrame(columns=["doc_id", "sh"])
+        sets = {int(d): set(s.split("\x1f"))
+                for d, s in zip(sh_df["doc_id"], sh_df["sh"])}
+        out = []
+        for da, db in zip(pairs.get("doc_a", []), pairs.get("doc_b", [])):
+            xa, xb = sets[int(da)], sets[int(db)]
+            union = len(xa | xb)
+            jac = len(xa & xb) / union if union else 0.0
+            if jac >= jaccard_t:
+                out.append((int(da), int(db), round(jac, 6)))
+        res = pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"]) \
+            .astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
+        return ray.data.from_pandas(res)
+
+    # --- fallback: distributed verify (candidates past the driver guard) ----
     cand = grouped_distinct(cand, ["doc_a", "doc_b"], n_buckets=16)
 
     # one-copy shingle side (no md5 work here — shingling is string ops)

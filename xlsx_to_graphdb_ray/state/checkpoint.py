@@ -109,17 +109,22 @@ def default_blocks() -> int:
     return 16
 
 
-def blocks_for(rows: int) -> int:
+def blocks_for(rows: int, rows_per_block: int = 2048) -> int:
     """Rows-aware block count: ≥8 (keep small tables parallel), ≤2×CPUs,
-    and ≥~2048 rows per block — per-task dispatch costs ~20 ms on this box,
-    so a 5k-row side table split 64 ways is dispatch-bound, not compute-
-    bound. (On a real cluster, size blocks to ~64 MB instead.)"""
-    return max(8, min(default_blocks(), rows // 2048 or 8))
+    and ≥``rows_per_block`` rows per block — per-task dispatch costs ~20 ms
+    on this box, so a 5k-row side table split 64 ways is dispatch-bound,
+    not compute-bound, at the 2048 default. Stages whose per-row work is
+    heavy (md5 shingling ≈ 200 µs/doc) pass a smaller ``rows_per_block``
+    so small tables still fan out to every CPU. (On a real cluster, size
+    blocks to ~64 MB instead.)"""
+    return max(8, min(default_blocks(), rows // rows_per_block or 8))
 
 
-def read_parquet_auto(path, columns=None) -> "ray.data.Dataset":
+def read_parquet_auto(path, columns=None,
+                      rows_per_block: int = 2048) -> "ray.data.Dataset":
     """``read_parquet`` with a rows-aware ``override_num_blocks``."""
     import pyarrow.parquet as pq
     rows = pq.read_metadata(path).num_rows
-    return ray.data.read_parquet(path, columns=columns,
-                                 override_num_blocks=blocks_for(rows))
+    return ray.data.read_parquet(
+        path, columns=columns,
+        override_num_blocks=blocks_for(rows, rows_per_block))
