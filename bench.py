@@ -105,11 +105,15 @@ def run_bench() -> dict:
     timed("docs_top_bigrams", tr.docs_top_bigrams)
     timed("docs_split", tr.docs_split)
     timed("docs_sample", tr.docs_sample)
+    timed("docs_decontaminate", tr.docs_decontaminate)
+    timed("docs_mix_report", tr.docs_mix_report)
+    timed("docs_train_mix", tr.docs_train_mix)
     timed("ann_topk", tr.ann_topk)
     timed("ann_ivf_topk", tr.ann_ivf_topk)
     timed("vecs_centroid_assign", tr.vecs_centroid_assign)
     timed("vecs_near_dup_exact", tr.vecs_near_dup_exact)
     timed("vecs_near_dup_lsh", tr.vecs_near_dup_lsh)
+    timed("vecs_dup_clusters", tr.vecs_dup_clusters)
     timed("events_sessionize", tr.events_sessionize)
     timed("events_tumbling", tr.events_tumbling)
     timed("events_next_purchase", tr.events_next_purchase)

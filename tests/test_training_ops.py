@@ -355,3 +355,69 @@ def test_dup_clusters_collapse_planted_families(docs):
             assert got[k] < k
     # keepers are cluster minima: no keeper is itself remapped
     assert not (set(out["keep_id"]) & set(out["doc_id"]))
+
+
+@pytest.fixture(scope="module")
+def documents(ray_session):
+    return ray.data.read_parquet(SF + "/documents.parquet")
+
+
+def test_decontaminate_flags_only_contaminated_noneval(documents):
+    from xlsx_to_graphdb_ray.stages import textstats
+    from xlsx_to_graphdb_ray.stages.dedup_docs import shingles
+    out = textstats.decontaminate(documents).to_pandas()
+    df = documents.to_pandas()
+    ev_sh = {s for t in df[df.doc_id % 97 == 0]["text"] for s in shingles(t)}
+    expect = {}
+    for _, r in df[df.doc_id % 97 != 0].iterrows():
+        n = len(set(shingles(r["text"])) & ev_sh)
+        if n:
+            expect[r["doc_id"]] = n
+    got = dict(zip(out["doc_id"], out["n_hits"]))
+    assert got == expect and len(got) > 0
+
+
+def test_mix_report_totals(documents):
+    import os
+    from xlsx_to_graphdb_ray.stages import textstats
+    full = ray.data.read_parquet(SF + "/documents.parquet",
+                                 columns=["source", "lang", "text"])
+    out = textstats.mix_report(full).to_pandas()
+    df = documents.to_pandas()
+    assert out["n_docs"].sum() == len(df)
+    assert out["sum_chars"].sum() == df["text"].str.len().sum()
+    # every (source, lang) combination present exactly once
+    assert not out.duplicated(["source", "lang"]).any()
+
+
+def test_train_mix_matches_bruteforce(documents):
+    import hashlib
+    from xlsx_to_graphdb_ray.stages import textstats
+    out = textstats.train_mix(documents).to_pandas() \
+        .sort_values("text_md5").reset_index(drop=True)
+    df = documents.to_pandas()
+    q = textstats.quality_scores(documents).to_pandas().set_index("doc_id")
+    l = textstats.lang_id(documents).to_pandas().set_index("doc_id")
+    elig = df[(q.loc[df.doc_id, "quality"].values == 1)
+              & (l.loc[df.doc_id, "lang_pred"].values == "en")]
+    exp = elig.assign(
+        text_md5=[hashlib.md5(t.encode()).hexdigest() for t in elig["text"]]) \
+        .groupby("text_md5").agg(doc_id=("doc_id", "min"),
+                                 n_copies=("doc_id", "size")) \
+        .reset_index().sort_values("text_md5").reset_index(drop=True)
+    assert 0 < len(out) < len(df)          # the filter actually filters
+    pd.testing.assert_frame_equal(
+        out[["text_md5", "doc_id", "n_copies"]].astype({"n_copies": "int64"}),
+        exp.astype({"n_copies": "int64"}), check_like=True)
+
+
+def test_vec_dup_clusters_planted(ray_session):
+    vecs = ray.data.read_parquet(synth.ensure_synth(SF)["vecs"])
+    out = ann.vec_dup_clusters(vecs)
+    # keepers are cluster minima: no keeper is itself remapped
+    assert not (set(out["keep_id"]) & set(out["vec_id"]))
+    assert (out["keep_id"] < out["vec_id"]).all()
+    # agrees with pair graph: every member appears in >=1 exact pair
+    pairs = ann.exact_near_dup_pairs(vecs).to_pandas()
+    in_pairs = set(pairs["vec_a"]) | set(pairs["vec_b"])
+    assert set(out["vec_id"]) <= in_pairs and len(out) > 0

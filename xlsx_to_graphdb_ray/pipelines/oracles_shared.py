@@ -169,9 +169,15 @@ def events_extra_oracles() -> dict[str, str]:
 
 
 def _doc_shingle_cte(docs_path: str) -> str:
+    return _shingle_cte_from(f"read_parquet('{docs_path}')")
+
+
+def _shingle_cte_from(docs_src: str) -> str:
+    """Shingle CTE over any FROM source (a parquet path or the pre-
+    registered ``documents`` view)."""
     return f"""
 docs AS (SELECT doc_id, string_split(text, ' ') AS toks
-         FROM read_parquet('{docs_path}')),
+         FROM {docs_src}),
 sh AS (SELECT doc_id, list_distinct(
          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
               ELSE [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
@@ -395,6 +401,46 @@ def text_oracles() -> dict[str, str]:
                    list_aggregate(list_transform(grams, x -> md5(x)), 'min')
                        AS fp
             FROM g""",
+        # eval-set decontamination: non-eval docs sharing >=1 distinct
+        # 3-gram shingle with the doc_id % 97 == 0 eval slice
+        "docs_decontaminate": f"""
+            WITH {_shingle_cte_from('documents')},
+            evs AS (SELECT DISTINCT s FROM exploded WHERE doc_id % 97 = 0)
+            SELECT e.doc_id, count(*) AS n_hits
+            FROM exploded e JOIN evs USING (s)
+            WHERE e.doc_id % 97 <> 0
+            GROUP BY e.doc_id""",
+        "docs_mix_report": """
+            SELECT source, lang, count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS sum_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source, lang""",
+        # composed training-mix filter: quality==1 AND lang_pred=='en',
+        # then exact first-wins dedup among the eligible
+        "docs_train_mix": f"""
+            WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                       FROM documents),
+            m AS (SELECT doc_id, text, greatest(len(toks), 1) AS n,
+                         len(toks) AS nt,
+                         len(list_filter(toks, x -> x IN ({stop_list})))
+                             AS n_stop
+                  FROM t),
+            q AS (SELECT doc_id, text,
+                         CASE WHEN nt BETWEEN 20 AND 1000
+                               AND n_stop * 1.0 / n <= 0.5
+                              THEN 1 ELSE 0 END AS quality
+                  FROM m),
+            lt AS (SELECT doc_id, list_distinct(string_split(text, ' '))
+                              AS toks
+                   FROM documents),
+            c AS (SELECT doc_id, {lang_counts} FROM lt),
+            lp AS (SELECT doc_id, {pick} AS lang_pred FROM c),
+            elig AS (SELECT q.doc_id, md5(q.text) AS text_md5
+                     FROM q JOIN lp USING (doc_id)
+                     WHERE q.quality = 1 AND lp.lang_pred = 'en')
+            SELECT text_md5, min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM elig GROUP BY text_md5""",
     }
 
 
@@ -434,6 +480,26 @@ def ann_oracles(sf_dir: str) -> dict[str, str]:
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95""",
+        # embedding near-dup cluster collapse: connected components of the
+        # exact pair graph (recursive reachability), member → min-id keeper
+        "vecs_dup_clusters": f"""
+            WITH RECURSIVE e AS (SELECT vec_id, embedding
+                                 FROM read_parquet('{p["vecs"]}')),
+            pairs AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding, b.embedding)
+                    >= 0.95),
+            edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+                      UNION SELECT vec_b, vec_a FROM pairs),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e2.v FROM reach r JOIN edges e2 ON e2.u = r.v
+              WHERE e2.v <> r.u),
+            canon AS (SELECT u AS vec_id, least(u, min(v)) AS keep_id
+                      FROM reach GROUP BY u)
+            SELECT vec_id, keep_id FROM canon WHERE keep_id <> vec_id""",
     }
 
 

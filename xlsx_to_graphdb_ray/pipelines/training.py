@@ -144,6 +144,21 @@ def docs_sample(sf_dir: str):
     return sampling.hash_sample(_documents(sf_dir))
 
 
+def docs_decontaminate(sf_dir: str):
+    return textstats.decontaminate(_documents(sf_dir))
+
+
+def docs_mix_report(sf_dir: str):
+    # needs the (source, lang) mix columns the default doc read prunes away
+    return textstats.mix_report(
+        _read(os.path.join(sf_dir, "documents.parquet"),
+              columns=["source", "lang", "text"]))
+
+
+def docs_train_mix(sf_dir: str):
+    return textstats.train_mix(_documents(sf_dir))
+
+
 # --- similarity search ------------------------------------------------------
 
 def ann_topk(sf_dir: str):
@@ -172,6 +187,10 @@ def vecs_near_dup_exact(sf_dir: str):
 
 def vecs_near_dup_lsh(sf_dir: str):
     return ann.cosine_near_dup_pairs(_vecs_dup(sf_dir))
+
+
+def vecs_dup_clusters(sf_dir: str):
+    return ann.vec_dup_clusters(_vecs_dup(sf_dir))
 
 
 # --- multimodal plumbing (synthetic binary media) ---------------------------

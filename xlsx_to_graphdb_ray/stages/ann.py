@@ -337,3 +337,19 @@ def cosine_near_dup_pairs(vec_ds, tau: float = 0.95, n_planes: int = 8):
 
     assigned = vec_ds.map_batches(assign, batch_format="pandas")
     return bucketed_map_groups(assigned, ["bucket_id"], verify, n_buckets=16)
+
+
+def vec_dup_clusters(vec_ds, tau: float = 0.95):
+    """(vec_id, keep_id) — collapse exact embedding near-dups (cosine ≥ τ)
+    into clusters: connected components of the ``exact_near_dup_pairs``
+    graph, each member mapped to its cluster's MIN vec_id. Only
+    non-representative members are returned (the delta removal map) —
+    same contract as ``dedup_docs.dup_clusters`` for text."""
+    from .canonicalize import sameas_components
+
+    pairs = exact_near_dup_pairs(vec_ds, tau=tau).map_batches(
+        lambda b: pd.DataFrame({"a_id": b["vec_a"], "b_id": b["vec_b"]}),
+        batch_format="pandas")
+    delta = sameas_components(pairs)
+    return pd.DataFrame({"vec_id": delta["entity_id"].astype("int64"),
+                         "keep_id": delta["canon_id"].astype("int64")})

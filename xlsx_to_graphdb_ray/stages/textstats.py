@@ -52,87 +52,84 @@ def _uniq_len(toks: pa.ChunkedArray):
     return pa.array(out)
 
 
+def quality_batch(b: pa.Table) -> pa.Table:
+    """Per-batch quality kernel (module-level so composed pipelines —
+    ``training.train_mix`` — reuse it without a second scoring pass)."""
+    stop_set = pa.array(STOPWORDS)
+    text = pc.fill_null(b["text"], "")
+    toks = pc.split_pattern(text, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    nt = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    n = np.maximum(nt, 1)
+    # single-space split ⇒ sum(len(token)) == len(text) - (n_tokens - 1)
+    tok_chars = pc.utf8_length(text).to_numpy().astype(np.int64) - (nt - 1)
+    # stopword hits: one is_in over the flattened tokens, then a
+    # per-row segment sum via reduceat on the list offsets
+    flat = toks.flatten()
+    hits = pc.is_in(flat, value_set=stop_set).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    # ListArray.offsets are ABSOLUTE positions into the values buffer;
+    # flatten() is relative to the array's slice — rebase so the two
+    # stay aligned even if this array ever carries a non-zero offset
+    raw_off = toks.offsets.to_numpy().astype(np.int64)
+    offsets = (raw_off - raw_off[0])[:-1]
+    stops = np.add.reduceat(hits, offsets) if len(hits) else \
+        np.zeros(len(nt), dtype=np.int64)
+    stop_ratio = np.round(stops / n, 6)
+    mean_len = np.round(tok_chars / n, 6)
+    quality = ((nt >= 20) & (nt <= 1000)
+               & (stop_ratio <= 0.5)).astype(np.int64)
+    return pa.table({"doc_id": b["doc_id"],
+                     "stop_ratio": pa.array(stop_ratio),
+                     "mean_token_len": pa.array(mean_len),
+                     "quality": pa.array(quality)})
+
+
 def quality_scores(docs_ds):
     """(doc_id, stop_ratio, mean_token_len, quality) — simple length /
     stopword heuristics; quality = 1 if 20 ≤ n_tokens ≤ 1000 and
     stop_ratio ≤ 0.5 else 0. Ratios rounded to 6 dp (oracle parity)."""
+    return docs_ds.map_batches(quality_batch, batch_format="pyarrow")
 
-    import numpy as np
 
-    stop_set = pa.array(STOPWORDS)
-
-    def score(b: pa.Table) -> pa.Table:
-        text = pc.fill_null(b["text"], "")
-        toks = pc.split_pattern(text, " ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        nt = pc.list_value_length(toks).to_numpy().astype(np.int64)
-        n = np.maximum(nt, 1)
-        # single-space split ⇒ sum(len(token)) == len(text) - (n_tokens - 1)
-        tok_chars = pc.utf8_length(text).to_numpy().astype(np.int64) - (nt - 1)
-        # stopword hits: one is_in over the flattened tokens, then a
-        # per-row segment sum via reduceat on the list offsets
-        flat = toks.flatten()
-        hits = pc.is_in(flat, value_set=stop_set).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        # ListArray.offsets are ABSOLUTE positions into the values buffer;
-        # flatten() is relative to the array's slice — rebase so the two
-        # stay aligned even if this array ever carries a non-zero offset
-        raw_off = toks.offsets.to_numpy().astype(np.int64)
-        offsets = (raw_off - raw_off[0])[:-1]
-        stops = np.add.reduceat(hits, offsets) if len(hits) else \
-            np.zeros(len(nt), dtype=np.int64)
-        stop_ratio = np.round(stops / n, 6)
-        mean_len = np.round(tok_chars / n, 6)
-        quality = ((nt >= 20) & (nt <= 1000)
-                   & (stop_ratio <= 0.5)).astype(np.int64)
-        return pa.table({"doc_id": b["doc_id"],
-                         "stop_ratio": pa.array(stop_ratio),
-                         "mean_token_len": pa.array(mean_len),
-                         "quality": pa.array(quality)})
-
-    return docs_ds.map_batches(score, batch_format="pyarrow")
+def lang_batch(b: pa.Table) -> pa.Table:
+    """Per-batch language-ID kernel (module-level for pipeline reuse)."""
+    langs = sorted(LANG_MARKERS)
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    marker_set = pa.array(all_markers)
+    text = pc.fill_null(b["text"], "")
+    toks = pc.split_pattern(text, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n_rows = len(toks)
+    # flatten once; only MARKER tokens survive the filter, so the
+    # per-row distinct work below runs on a tiny fraction of the corpus
+    flat = toks.flatten()
+    lengths = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
+    mask = pc.is_in(flat, value_set=marker_set)
+    hit_rows = row_idx[mask.to_numpy(zero_copy_only=False)]
+    hit_toks = flat.filter(mask).to_pylist()
+    hits = pd.DataFrame({"row": hit_rows, "tok": hit_toks}) \
+        .drop_duplicates()                          # marker present = 1 hit
+    counts = np.zeros((n_rows, len(langs)), dtype=np.int64)
+    for li, lang in enumerate(langs):
+        in_lang = hits["tok"].isin(LANG_MARKERS[lang])
+        np.add.at(counts[:, li], hits.loc[in_lang, "row"].to_numpy(), 1)
+    best = counts.max(axis=1)
+    # first language (alphabetical) achieving the max; 'und' if zero
+    pick = np.asarray(langs, dtype=object)[counts.argmax(axis=1)]
+    pick[best == 0] = "und"
+    return pa.table({"doc_id": b["doc_id"],
+                     "lang_pred": pa.array(pick, pa.string())})
 
 
 def lang_id(docs_ds):
     """(doc_id, lang_pred) — marker-word language ID: the language with the
     most marker hits wins; ties and zero hits → 'und'. Tie-break by
     language name (deterministic, oracle-matched)."""
-    langs = sorted(LANG_MARKERS)
-
-    import numpy as np
-
-    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
-    marker_set = pa.array(all_markers)
-
-    def pred(b: pa.Table) -> pa.Table:
-        text = pc.fill_null(b["text"], "")
-        toks = pc.split_pattern(text, " ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        n_rows = len(toks)
-        # flatten once; only MARKER tokens survive the filter, so the
-        # per-row distinct work below runs on a tiny fraction of the corpus
-        flat = toks.flatten()
-        lengths = pc.list_value_length(toks).to_numpy().astype(np.int64)
-        row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
-        mask = pc.is_in(flat, value_set=marker_set)
-        hit_rows = row_idx[mask.to_numpy(zero_copy_only=False)]
-        hit_toks = flat.filter(mask).to_pylist()
-        hits = pd.DataFrame({"row": hit_rows, "tok": hit_toks}) \
-            .drop_duplicates()                      # marker present = 1 hit
-        counts = np.zeros((n_rows, len(langs)), dtype=np.int64)
-        for li, lang in enumerate(langs):
-            in_lang = hits["tok"].isin(LANG_MARKERS[lang])
-            np.add.at(counts[:, li], hits.loc[in_lang, "row"].to_numpy(), 1)
-        best = counts.max(axis=1)
-        # first language (alphabetical) achieving the max; 'und' if zero
-        pick = np.asarray(langs, dtype=object)[counts.argmax(axis=1)]
-        pick[best == 0] = "und"
-        return pa.table({"doc_id": b["doc_id"],
-                         "lang_pred": pa.array(pick, pa.string())})
-
-    return docs_ds.map_batches(pred, batch_format="pyarrow")
+    return docs_ds.map_batches(lang_batch, batch_format="pyarrow")
 
 
 # per-gram md5s memoized per worker process (same pattern as
@@ -319,3 +316,102 @@ def tfidf_topk(docs_ds, k: int = 5):
         })
 
     return bucketed_map_groups(joined, ["doc_id"], topk, n_buckets=16)
+
+
+# --- training-mix composition operators -------------------------------------
+
+def decontaminate(docs_ds, eval_mod: int = 97):
+    """Eval-set decontamination: flag corpus docs sharing ≥1 3-gram shingle
+    with the held-out eval slice (``doc_id % eval_mod == 0``). Returns
+    (doc_id, n_hits) for contaminated NON-eval docs, where ``n_hits`` is
+    the number of distinct shared shingles.
+
+    Scale shape: eval sets are small and bounded by construction (a
+    benchmark suite, not a corpus slice, in production) — their shingle
+    set is collected once from a filtered streaming pass, broadcast via
+    ``ray.put``, and the corpus streams through one vectorized ``np.isin``
+    + ``reduceat`` pass. No shuffle anywhere.
+    """
+    import ray
+
+    from .dedup_docs import shingles
+
+    def eval_sh(b: pd.DataFrame) -> pd.DataFrame:
+        sub = b[(b["doc_id"] % eval_mod) == 0]
+        return pd.DataFrame(
+            {"s": sorted({s for t in sub["text"] for s in shingles(t)})})
+
+    ev = docs_ds.map_batches(eval_sh, batch_format="pandas").to_pandas()
+    ev_ref = ray.put(np.asarray(sorted(set(ev["s"])), dtype=object))
+
+    def hits(b: pd.DataFrame) -> pd.DataFrame:
+        ev_set = ray.get(ev_ref)
+        sub = b[(b["doc_id"] % eval_mod) != 0]
+        sh_lists = [shingles(t) for t in sub["text"]]
+        counts = np.fromiter((len(x) for x in sh_lists), dtype=np.int64,
+                             count=len(sh_lists))
+        n_hits = np.zeros(len(sh_lists), dtype=np.int64)
+        if counts.sum() > 0:
+            flat = np.asarray([s for sl in sh_lists for s in sl],
+                              dtype=object)
+            hit = np.isin(flat, ev_set).astype(np.int64)
+            nz = counts > 0
+            nz_counts = counts[nz]
+            offsets = np.zeros(len(nz_counts), dtype=np.int64)
+            np.cumsum(nz_counts[:-1], out=offsets[1:])
+            n_hits[nz] = np.add.reduceat(hit, offsets)
+        keep = n_hits > 0
+        return pd.DataFrame({
+            "doc_id": sub["doc_id"].to_numpy()[keep].astype("int64"),
+            "n_hits": n_hits[keep]})
+
+    return docs_ds.map_batches(hits, batch_format="pandas")
+
+
+def mix_report(docs_ds):
+    """(source, lang, n_docs, sum_tokens, sum_chars) — the per-(source,
+    language) corpus mix dashboard a data-mixing step consumes. Partial
+    sums per block, tiny key cardinality → ``small_result`` coalesce,
+    no all-to-all exchange."""
+    from .shuffle import grouped_agg
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = pc.fill_null(b["text"], "")
+        toks = pc.split_pattern(text, " ")
+        return pa.table({
+            "source": b["source"], "lang": b["lang"],
+            "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        })
+
+    return grouped_agg(docs_ds.map_batches(partial, batch_format="pyarrow"),
+                       ["source", "lang"],
+                       [("n_docs", None, "count"),
+                        ("sum_tokens", "n_tokens", "sum"),
+                        ("sum_chars", "n_chars", "sum")], small_result=True)
+
+
+def train_mix(docs_ds):
+    """Composed end-to-end training-mix filter — what actually goes into a
+    training run: eligibility = quality==1 AND lang_pred=='en' (kernels
+    reused from ``quality_batch``/``lang_batch``, ONE streaming pass
+    computes both flags), then exact first-wins dedup among the eligible.
+    Returns (text_md5, doc_id, n_copies); ``doc_id`` is the kept
+    representative. The only exchange is the final grouped min/count."""
+    from .shuffle import grouped_agg
+
+    def eligible(b: pa.Table) -> pd.DataFrame:
+        q = quality_batch(b)["quality"].to_numpy().astype(bool)
+        lp = lang_batch(b)["lang_pred"].to_numpy(zero_copy_only=False)
+        keep = q & (lp == "en")
+        texts = pc.fill_null(b["text"], "").to_pylist()
+        ids = b["doc_id"].to_numpy()[keep].astype("int64")
+        return pd.DataFrame({
+            "text_md5": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                         for t, k in zip(texts, keep) if k],
+            "doc_id": ids})
+
+    elig = docs_ds.map_batches(eligible, batch_format="pyarrow")
+    return grouped_agg(elig, ["text_md5"],
+                       [("doc_id", "doc_id", "min"),
+                        ("n_copies", None, "count")], n_buckets=16)
