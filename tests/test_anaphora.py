@@ -60,3 +60,61 @@ def test_non_mention_rows_untouched():
     by_kind = dict(zip(out["kind"], out["a"]))
     assert by_kind["r"] == "x" and by_kind["t"] == "search"
     assert out[out["turn_idx"] == 3]["a"].iloc[0] == "alpha"
+
+
+# --- zero-shuffle sorted-layout path ----------------------------------------
+
+def _turns_df():
+    """Conversations with anaphors that straddle artificial block splits."""
+    rows = []
+    for c in range(6):
+        conv = f"c{c:02d}"
+        for t in range(7):
+            if t == 0:
+                text = f"intro [[ent{c}a]] here"
+            elif t == 3:
+                text = "mid [[ent%da]] and [[that one]] again" % c
+            elif t in (2, 5):
+                text = "follow [[that one]] up"
+            else:
+                text = "plain turn no mentions"
+            rows.append({"conv_id": conv, "turn_idx": t, "text": text,
+                         "tool": ""})
+    return pd.DataFrame(rows)
+
+
+def test_sorted_path_matches_exchange_path(ray_session):
+    import ray.data
+    from xlsx_to_graphdb_ray.stages.anaphora import (
+        extract_with_anaphora_sorted, substitute_anaphora)
+    from xlsx_to_graphdb_ray.stages.extract import extract_events
+
+    df = _turns_df()
+    # 4 blocks of 10/11 rows — splits land mid-conversation on purpose
+    ds = ray.data.from_pandas([df.iloc[i:i + 11].reset_index(drop=True)
+                               for i in range(0, len(df), 11)])
+    got = extract_with_anaphora_sorted(ds).to_pandas()
+    ref = substitute_anaphora(
+        ds.map_batches(extract_events, batch_format="pyarrow")).to_pandas()
+    key = ["conv_id", "turn_idx", "ord", "kind", "a", "b", "pred"]
+    g = got[key].sort_values(key).reset_index(drop=True).fillna("~")
+    r = ref[key].sort_values(key).reset_index(drop=True).fillna("~")
+    pd.testing.assert_frame_equal(g, r)
+    # and the cross-block anaphors actually resolved (not left as markers)
+    from xlsx_to_graphdb_ray.stages.anaphora import ANAPHOR
+    m = got[got["kind"] == "m"]
+    assert (m[m["turn_idx"] > 0]["a"] != ANAPHOR).all()
+
+
+def test_sorted_path_raises_on_shuffled_layout(ray_session):
+    import pytest as _pytest
+    import ray.data
+    from xlsx_to_graphdb_ray.stages.anaphora import (
+        extract_with_anaphora_sorted, is_unsorted_layout_error)
+
+    df = _turns_df().sample(frac=1.0, random_state=3).reset_index(drop=True)
+    ds = ray.data.from_pandas([df.iloc[i:i + 11].reset_index(drop=True)
+                               for i in range(0, len(df), 11)])
+    with _pytest.raises(Exception) as ei:
+        extract_with_anaphora_sorted(ds).to_pandas()
+    assert is_unsorted_layout_error(ei.value)  # kg's fallback trigger

@@ -104,10 +104,21 @@ def resolved_events(sf_dir: str) -> ray.data.Dataset:
 
     def make():
         from ..state.checkpoint import read_parquet_auto
+        from ..stages.anaphora import (extract_with_anaphora_sorted,
+                                       is_unsorted_layout_error)
         turns = read_parquet_auto(
             paths["turns"], columns=["conv_id", "turn_idx", "text", "tool"])
-        events = turns.map_batches(extract_events, batch_format="pyarrow")
-        events = substitute_anaphora(events)
+        # transcripts are written conversation-contiguous → the fused
+        # zero-exchange extract+anaphora path; the layout check raises on
+        # violation and we fall back to the hash-bucket exchange
+        try:
+            events = extract_with_anaphora_sorted(turns)
+        except Exception as e:  # UnsortedLayoutError, possibly Ray-wrapped
+            if not is_unsorted_layout_error(e):
+                raise
+            events = turns.map_batches(extract_events,
+                                       batch_format="pyarrow")
+            events = substitute_anaphora(events)
         if partitioned:
             from ..stages.resolve import resolve_events_partitioned
             entities = read_parquet_auto(

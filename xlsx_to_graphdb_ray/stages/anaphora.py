@@ -7,24 +7,26 @@ alias is ``"that one"`` refers to the most recent *non-anaphoric* mention at
 a strictly earlier (turn_idx, ord, kind) position within the same
 conversation.
 
-Scale design (two deliberate choices):
+Two execution paths, auto-dispatched by input layout:
 
-1. The stage runs on the **extracted event stream**, not the raw turns — the
-   shuffle moves only small event rows, a fraction of the input bytes.
-2. Conversations are grouped by a **hash bucket** (``conv_bucket =
-   stable_hash(conv_id) % n_buckets``), not by conv_id directly: one
-   Python call per co-located partition (``shuffle.partition_map``)
-   instead of one per conversation, with all per-conversation work done by
-   *vectorized* pandas ``groupby(conv_id)`` kernels inside the partition.
-   Bucketing by hash also spreads conversations evenly, so no single group
-   is hot.
-
-Never relies on global block order (SURVEY.md §4 "Ordering") — every bucket
-sorts by the stable (conv_id, turn_idx, ord, kind) coordinates itself.
+1. **Sorted-layout path** (``extract_with_anaphora_sorted``) — the default
+   for transcript tables, which are naturally conversation-contiguous and
+   turn-ordered: ZERO exchanges; a light per-block boundary pass + fused
+   extract-and-substitute second pass (see the section comment below).
+   Layout is *checked*, not assumed — violations raise
+   ``UnsortedLayoutError`` and the caller falls back to path 2.
+2. **Hash-exchange path** (``substitute_anaphora``) — arbitrary layout.
+   Runs on the extracted event stream (small rows, a fraction of input
+   bytes), grouped by ``conv_bucket = stable_hash(conv_id) % n_buckets``
+   through ``shuffle.partition_map`` — one Python call per co-located
+   partition, all per-conversation work vectorized pandas inside it.
+   Never relies on block order: every bucket sorts by the stable
+   (conv_id, turn_idx, ord, kind) coordinates itself (SURVEY.md §4).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pandas.util
 import pyarrow as pa
@@ -84,3 +86,149 @@ def substitute_anaphora(events_ds, n_buckets: int = N_BUCKETS):
         lambda b: _add_conv_bucket_arrow(b, n_buckets),
         batch_format="pyarrow")
     return partition_map(bucketed, "conv_bucket", resolve_bucket)
+
+
+# --- zero-shuffle sorted-layout path ----------------------------------------
+#
+# Transcript tables are naturally written conversation-contiguous and
+# turn-ordered (one producer appends a conversation at a time; the synth
+# generator and any log/CDC ingest share this layout). When that holds,
+# anaphora needs NO exchange at all: blocks of a contiguous-range Parquet
+# read are contiguous turn spans, so every conversation lives in one block
+# except the (at most two) edge conversations per block. A light first pass
+# collects per-edge-fragment summaries (turn range + last carrier) — O(2 ×
+# n_blocks) rows to the driver regardless of data size — the driver chains
+# carriers across fragments of the same conversation (validating that
+# fragment turn ranges are exactly consecutive — the layout check), and the
+# fused second pass extracts + substitutes per block, seeding each
+# continued fragment with its incoming carrier. Falls back to the
+# hash-exchange path (`substitute_anaphora`) if the layout check fails.
+
+
+class UnsortedLayoutError(ValueError):
+    """Raised when the conv-contiguous / turn-ordered precondition fails."""
+
+
+def is_unsorted_layout_error(e: BaseException) -> bool:
+    """True when ``e`` is (or Ray-wraps) an UnsortedLayoutError. Ray task
+    errors chain the original through ``.cause`` / ``__cause__`` and their
+    repr does not keep the class name — walk the chain."""
+    seen: set[int] = set()
+    while e is not None and id(e) not in seen:
+        seen.add(id(e))
+        if isinstance(e, UnsortedLayoutError) or \
+                type(e).__name__ == "UnsortedLayoutError" or \
+                "UnsortedLayoutError" in str(e):
+            return True
+        e = getattr(e, "cause", None) or e.__cause__ or e.__context__
+    return False
+
+
+def _fragment_rows(b: pd.DataFrame) -> pd.DataFrame:
+    """Per-block summaries for the (≤2) edge conversations."""
+    from .extract import extract_events
+
+    if len(b) == 0:
+        return pd.DataFrame(columns=["conv_id", "tmin", "tmax",
+                                     "last_carrier"])
+    rows = []
+    for conv in dict.fromkeys([b["conv_id"].iloc[0], b["conv_id"].iloc[-1]]):
+        sub = b[b["conv_id"] == conv]
+        if not sub["turn_idx"].is_monotonic_increasing or \
+                (sub.index.to_numpy()[-1] - sub.index.to_numpy()[0]
+                 + 1) != len(sub):
+            raise UnsortedLayoutError(
+                f"conversation {conv!r} is not contiguous/ordered in-block")
+        ev = extract_events(pa.Table.from_pandas(
+            sub.reset_index(drop=True), preserve_index=False)).to_pandas()
+        m = ev[(ev["kind"] == "m") & (ev["a"] != ANAPHOR)]
+        rows.append((conv, int(sub["turn_idx"].min()),
+                     int(sub["turn_idx"].max()),
+                     m["a"].iloc[-1] if len(m) else None))
+    return pd.DataFrame(rows, columns=["conv_id", "tmin", "tmax",
+                                       "last_carrier"])
+
+
+def _chain_incoming(summaries: pd.DataFrame) -> dict:
+    """Driver-side carrier chaining: {(conv_id, tmin) → incoming carrier}
+    for every continued fragment. Raises UnsortedLayoutError when fragment
+    turn ranges of one conversation are not exactly consecutive."""
+    incoming: dict = {}
+    s = summaries.drop_duplicates(["conv_id", "tmin", "tmax"])
+    for conv, grp in s.groupby("conv_id", sort=False):
+        grp = grp.sort_values("tmin")
+        prev_max, carry = None, None
+        for r in grp.itertuples(index=False):
+            if prev_max is None:
+                if r.tmin != 0:
+                    raise UnsortedLayoutError(
+                        f"conversation {conv!r}: first fragment starts at "
+                        f"turn {r.tmin}, not 0 — blocks are not contiguous")
+            elif r.tmin != prev_max + 1:
+                raise UnsortedLayoutError(
+                    f"conversation {conv!r}: fragment gap "
+                    f"{prev_max} → {r.tmin}")
+            if r.tmin > 0:
+                incoming[(conv, int(r.tmin))] = carry
+            if r.last_carrier is not None and not pd.isna(r.last_carrier):
+                carry = r.last_carrier
+            prev_max = r.tmax
+    return incoming
+
+
+def _fused_extract_substitute(b: pd.DataFrame, *, inc_ref) -> pa.Table:
+    """One block: extract events + in-place anaphora substitution, seeding
+    continued conversations from the broadcast incoming-carrier map."""
+    import ray
+
+    from .extract import extract_events
+
+    incoming = ray.get(inc_ref) if isinstance(inc_ref, ray.ObjectRef) \
+        else inc_ref
+    ev = extract_events(pa.Table.from_pandas(
+        b.reset_index(drop=True), preserve_index=False)).to_pandas()
+    is_m = ev["kind"] == "m"
+    # the mention part is emitted in (input row, ord) order — already the
+    # (conv, turn_idx, ord) coordinate order; no sort needed
+    m = ev[is_m]
+    is_ana = m["a"] == ANAPHOR
+    carrier = m["a"].where(~is_ana)
+    by_conv = carrier.groupby(m["conv_id"], sort=False)
+    prev = by_conv.ffill().groupby(m["conv_id"], sort=False).shift(1)
+    sub = m["a"].copy()
+    sub[is_ana] = prev[is_ana]
+    if incoming:
+        # seed: anaphors still unresolved belong to the stretch before the
+        # fragment's first local carrier → they resolve to the incoming one.
+        # Fragment starts come from the raw BLOCK turn spans (mentions may
+        # begin later than the fragment itself).
+        block_min = b.groupby("conv_id", sort=False)["turn_idx"].min()
+        seed = np.asarray([
+            incoming.get((c, int(block_min.get(c, 0))))
+            for c in m["conv_id"]], dtype=object)
+        unresolved = sub.isna().to_numpy() & is_ana.to_numpy()
+        take = unresolved & pd.notna(seed)
+        sub.iloc[np.flatnonzero(take)] = seed[take]
+    sub = sub.fillna(ANAPHOR)
+    ev.loc[is_m, "a"] = sub
+    return pa.Table.from_pandas(ev, preserve_index=False)
+
+
+def extract_with_anaphora_sorted(turns_ds):
+    """Fused extract + anaphora for conv-contiguous, turn-ordered input —
+    ZERO exchanges (vs one all-to-all on the hash-bucket path). Returns the
+    same event multiset as
+    ``substitute_anaphora(turns.map_batches(extract_events))``.
+
+    Raises ``UnsortedLayoutError`` when the layout precondition fails —
+    callers fall back to the exchange path (see ``kg.resolved_events``).
+    """
+    import ray
+
+    summaries = turns_ds.map_batches(
+        _fragment_rows, batch_format="pandas", batch_size=None).to_pandas()
+    incoming = _chain_incoming(summaries)
+    inc_ref = ray.put(incoming)
+    return turns_ds.map_batches(
+        _fused_extract_substitute, fn_kwargs={"inc_ref": inc_ref},
+        batch_format="pandas", batch_size=None)
