@@ -106,6 +106,68 @@ def test_sorted_path_matches_exchange_path(ray_session):
     assert (m[m["turn_idx"] > 0]["a"] != ANAPHOR).all()
 
 
+def test_sorted_path_raises_on_shuffled_interior_conv(ray_session):
+    """Adversarial round-3 verdict case: block edge conversations are clean
+    but an INTERIOR conversation has shuffled turns — must raise (the old
+    edges-only check silently produced wrong antecedents here)."""
+    import pytest as _pytest
+    import ray.data
+    from xlsx_to_graphdb_ray.stages.anaphora import (
+        extract_with_anaphora_sorted, is_unsorted_layout_error)
+
+    df = _turns_df()  # 6 convs x 7 turns, sorted
+    # one block: c00..c05 in order, but c02's turns reversed (interior conv)
+    mask = df["conv_id"] == "c02"
+    shuffled = pd.concat([df[df["conv_id"] < "c02"],
+                          df[mask].iloc[::-1],
+                          df[df["conv_id"] > "c02"]]).reset_index(drop=True)
+    ds = ray.data.from_pandas([shuffled])
+    with _pytest.raises(Exception) as ei:
+        extract_with_anaphora_sorted(ds).to_pandas()
+    assert is_unsorted_layout_error(ei.value)
+
+
+def test_sorted_path_raises_on_interior_conv_revisit(ray_session):
+    """Interior conv appears as two separated runs in one block (each run
+    internally sorted) — not contiguous, must raise."""
+    import pytest as _pytest
+    import ray.data
+    from xlsx_to_graphdb_ray.stages.anaphora import (
+        extract_with_anaphora_sorted, is_unsorted_layout_error)
+
+    df = _turns_df()
+    c02 = df[df["conv_id"] == "c02"]
+    interleaved = pd.concat([
+        df[df["conv_id"] == "c00"], df[df["conv_id"] == "c01"],
+        c02.iloc[:3], df[df["conv_id"] == "c03"], c02.iloc[3:],
+        df[df["conv_id"] == "c04"], df[df["conv_id"] == "c05"],
+    ]).reset_index(drop=True)
+    ds = ray.data.from_pandas([interleaved])
+    with _pytest.raises(Exception) as ei:
+        extract_with_anaphora_sorted(ds).to_pandas()
+    assert is_unsorted_layout_error(ei.value)
+
+
+def test_fused_pass_raises_on_boundary_drift():
+    """A fused-pass block whose fragment starts at turn > 0 but has no
+    incoming-carrier entry proves the two executions split blocks
+    differently — must raise, not silently leave anaphors unresolved."""
+    import pytest as _pytest
+    from xlsx_to_graphdb_ray.stages.anaphora import (
+        UnsortedLayoutError, _fused_extract_substitute)
+
+    frag = pd.DataFrame({
+        "conv_id": ["c00"] * 3, "turn_idx": [4, 5, 6],
+        "text": ["follow [[that one]] up"] * 3, "tool": [""] * 3})
+    # summary pass saw a boundary at turn 4 → entry present (None carrier ok)
+    _fused_extract_substitute(frag, inc_ref={("c00", 4): None})
+    # drifted boundary (entry recorded for a different tmin) → raise
+    with _pytest.raises(UnsortedLayoutError, match="boundary drift"):
+        _fused_extract_substitute(frag, inc_ref={("c00", 3): "alpha"})
+    with _pytest.raises(UnsortedLayoutError, match="boundary drift"):
+        _fused_extract_substitute(frag, inc_ref={})
+
+
 def test_sorted_path_raises_on_shuffled_layout(ray_session):
     import pytest as _pytest
     import ray.data

@@ -102,34 +102,46 @@ def resolved_events(sf_dir: str) -> ray.data.Dataset:
     partitioned = _entity_count(paths["entities"]) > _broadcast_limit()
     fp = _fingerprint(paths) + ("|part" if partitioned else "|bcast")
 
-    def make():
+    def _read_turns():
         from ..state.checkpoint import read_parquet_auto
-        from ..stages.anaphora import (extract_with_anaphora_sorted,
-                                       is_unsorted_layout_error)
-        turns = read_parquet_auto(
+        return read_parquet_auto(
             paths["turns"], columns=["conv_id", "turn_idx", "text", "tool"])
-        # transcripts are written conversation-contiguous → the fused
-        # zero-exchange extract+anaphora path; the layout check raises on
-        # violation and we fall back to the hash-bucket exchange
-        try:
-            events = extract_with_anaphora_sorted(turns)
-        except Exception as e:  # UnsortedLayoutError, possibly Ray-wrapped
-            if not is_unsorted_layout_error(e):
-                raise
-            events = turns.map_batches(extract_events,
-                                       batch_format="pyarrow")
-            events = substitute_anaphora(events)
+
+    def _resolve(events):
         if partitioned:
             from ..stages.resolve import resolve_events_partitioned
+            from ..state.checkpoint import read_parquet_auto
             entities = read_parquet_auto(
                 paths["entities"], columns=["entity_id", "name"])
             return resolve_events_partitioned(events, entities)
         lookups = build_lookup_dicts(paths["entities"])
         return resolve_events(events, lookups)
 
-    return checkpoint_dataset(
-        make, os.path.join(workdir(sf_dir), "events_resolved"), fp,
-        min_rows_per_file=250_000)
+    def make_sorted():
+        # transcripts are written conversation-contiguous → the fused
+        # zero-exchange extract+anaphora path (layout checked per block)
+        from ..stages.anaphora import extract_with_anaphora_sorted
+        return _resolve(extract_with_anaphora_sorted(_read_turns()))
+
+    def make_exchange():
+        turns = _read_turns()
+        events = turns.map_batches(extract_events, batch_format="pyarrow")
+        return _resolve(substitute_anaphora(events))
+
+    from ..stages.anaphora import is_unsorted_layout_error
+    ckpt = os.path.join(workdir(sf_dir), "events_resolved")
+    # the try wraps the whole checkpoint (not just the summary pass): the
+    # fused second pass runs lazily at write time and can itself raise
+    # UnsortedLayoutError (interior-layout or boundary-drift guard) — any
+    # such raise, eager or lazy, falls back to the hash-bucket exchange
+    try:
+        return checkpoint_dataset(make_sorted, ckpt, fp,
+                                  min_rows_per_file=250_000)
+    except Exception as e:  # UnsortedLayoutError, possibly Ray-wrapped
+        if not is_unsorted_layout_error(e):
+            raise
+        return checkpoint_dataset(make_exchange, ckpt, fp,
+                                  min_rows_per_file=250_000)
 
 
 def canonical_delta(sf_dir: str) -> pd.DataFrame:
@@ -265,8 +277,12 @@ def build_triples(sf_dir: str, *, include_closure: bool = True,
             "prov": _pk(r["conv_id"], r["turn_idx"]),
         })
 
-    rel_rows = ev.map_batches(relation_rows, batch_format="pyarrow") \
-        .materialize()  # derived, small; reused by triples + closure branches
+    # reused by the triples + closure branches WITHOUT materialize():
+    # relation rows scale with input, so pinning them in the object store
+    # is wrong at 100 TB — each branch recomputes this cheap filter/project
+    # from the events_resolved Parquet checkpoint instead (round-3 verdict
+    # item 6)
+    rel_rows = ev.map_batches(relation_rows, batch_format="pyarrow")
 
     def relation_triples(b: pa.Table) -> pa.Table:
         n = len(b)

@@ -65,7 +65,10 @@ def hopping_counts(events_ds, window_min: int = 60, slide_min: int = 30):
     k = window_min // slide_min
 
     def fan_out(b: pd.DataFrame) -> pd.DataFrame:
-        e = b["ts"].astype("int64").to_numpy()
+        # unit-aware: a datetime64[ns] batch (e.g. from_pandas on
+        # pd.to_datetime output) must not be read as microseconds — force
+        # the us unit before the integer view (advisor finding, round 3)
+        e = b["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
         base = (e // s_us) * s_us
         starts = np.repeat(base, k) - np.tile(
             np.arange(k, dtype=np.int64) * s_us, len(b))
