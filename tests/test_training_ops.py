@@ -140,6 +140,31 @@ def test_simhash_pairs_find_planted_exact_dups(docs):
     assert (pairs["doc_a"] < pairs["doc_b"]).all()
 
 
+def test_simhash_pairs_dup_family_larger_than_cap(ray_session):
+    """An identical-text family BIGGER than the per-bucket cap must still
+    emit every within-family pair: identical-signature runs are exempt
+    from the compare cap (they need no popcount compares), so exactness
+    survives duplicate families of any size (round-3 advisor finding)."""
+    import pandas as pd
+    import ray.data
+
+    fam = 24
+    rows = [{"doc_id": i, "text": "the exact same document text " * 3}
+            for i in range(fam)]
+    rows += [{"doc_id": 100 + i, "text": f"unique filler document {i} "
+              f"with distinct words {i * 7} and {i * 13}"}
+             for i in range(10)]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    pairs = dedup_docs.simhash_pairs(ds, max_group=4).to_pandas()
+    fam_pairs = pairs[(pairs["doc_a"] < fam) & (pairs["doc_b"] < fam)]
+    got = set(zip(fam_pairs["doc_a"], fam_pairs["doc_b"]))
+    want = {(i, j) for i in range(fam) for j in range(i + 1, fam)}
+    assert got >= want
+    assert (fam_pairs["hamming"] == 0).all()
+    # and no pair is emitted twice (band-0-only emission for runs)
+    assert not pairs.duplicated(["doc_a", "doc_b"]).any()
+
+
 def test_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         multimodal.DecodeStub(fake=False)
@@ -413,7 +438,7 @@ def test_train_mix_matches_bruteforce(documents):
 
 def test_vec_dup_clusters_planted(ray_session):
     vecs = ray.data.read_parquet(synth.ensure_synth(SF)["vecs"])
-    out = ann.vec_dup_clusters(vecs)
+    out = ann.vec_dup_clusters(vecs)             # default = LSH candidates
     # keepers are cluster minima: no keeper is itself remapped
     assert not (set(out["keep_id"]) & set(out["vec_id"]))
     assert (out["keep_id"] < out["vec_id"]).all()
@@ -421,3 +446,11 @@ def test_vec_dup_clusters_planted(ray_session):
     pairs = ann.exact_near_dup_pairs(vecs).to_pandas()
     in_pairs = set(pairs["vec_a"]) | set(pairs["vec_b"])
     assert set(out["vec_id"]) <= in_pairs and len(out) > 0
+    # the default LSH-candidate path must reproduce the exact-grid
+    # clusters on this corpus (banded candidates are numerically
+    # exhaustive for near-identical planted pairs)
+    exact = ann.vec_dup_clusters(vecs, method="exact")
+    key = ["vec_id", "keep_id"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True),
+        exact.sort_values(key).reset_index(drop=True))

@@ -104,18 +104,14 @@ def kg_twin_pairs(sf_dir: str):
     ents = read_parquet_auto(paths["entities"], columns=["entity_id", "name"])
 
     from ..stages.dedup_docs import MAX_GROUP_MEMBERS
+    from ..stages.joins import group_pairs
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # per-group fan-out guard: an adversarial hot name would otherwise
-        # emit O(group²) pairs from one bucket (cf. reference's matched[:5]
-        # cap, ingest_changes.py:144); cap is far above observed group sizes
-        out = []
-        for name, grp in g.groupby("name", sort=False):
-            ids = sorted(grp["entity_id"])[:MAX_GROUP_MEMBERS]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out.append((ids[i], ids[j], name))
-        return pd.DataFrame(out, columns=["id_lo", "id_hi", "name"])
+        # vectorized triu pair emission with the per-group fan-out guard
+        # (an adversarial hot name would otherwise emit O(group²) pairs
+        # from one bucket; cap is far above observed group sizes)
+        p = group_pairs(g, "name", "entity_id", MAX_GROUP_MEMBERS)
+        return p[["id_lo", "id_hi", "name"]]
 
     return bucketed_map_groups(ents, ["name"], pairs, n_buckets=16)
 
@@ -218,16 +214,13 @@ def kg_prefix_pairs(sf_dir: str):
         return pd.DataFrame({"entity_id": b["entity_id"][ok], "blk": blk})
 
     from ..stages.dedup_docs import MAX_GROUP_MEMBERS
+    from ..stages.joins import group_pairs
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # bounded fan-out per prefix block (see kg_twin_pairs note)
-        out = []
-        for _, grp in g.groupby("blk", sort=False):
-            ids = sorted(grp["entity_id"])[:MAX_GROUP_MEMBERS]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out.append((ids[i], ids[j]))
-        return pd.DataFrame(out, columns=["id_lo", "id_hi"])
+        # vectorized pair emission, bounded fan-out per prefix block
+        # (see kg_twin_pairs note)
+        return group_pairs(g, "blk", "entity_id",
+                           MAX_GROUP_MEMBERS)[["id_lo", "id_hi"]]
 
     cand = bucketed_map_groups(
         ents.map_batches(blocks, batch_format="pandas"), ["blk"], pairs,

@@ -218,15 +218,10 @@ def minhash_lsh_pairs(docs_ds, jaccard_t: float = JACCARD_T):
         return pd.DataFrame(out, columns=["band_key", "doc_id"])
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, grp in g.groupby("band_key", sort=False):
-            if len(grp) < 2:
-                continue
-            ids = sorted(grp["doc_id"])[:MAX_GROUP_MEMBERS]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out.append((ids[i], ids[j]))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
+        from .joins import group_pairs
+        p = group_pairs(g, "band_key", "doc_id", MAX_GROUP_MEMBERS)
+        return p[["id_lo", "id_hi"]].rename(
+            columns={"id_lo": "doc_a", "id_hi": "doc_b"})
 
     banded = docs_ds.map_batches(bands, batch_format="pandas")
 
@@ -451,7 +446,8 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
         .reshape(-1, 8 * 8).sum(axis=1)
 
 
-def simhash_pairs(docs_ds, max_hamming: int = 3):
+def simhash_pairs(docs_ds, max_hamming: int = 3,
+                  max_group: int | None = None):
     """SimHash near-dup pairs: (doc_a, doc_b, hamming ≤ ``max_hamming``).
 
     Banded Hamming LSH that is EXACT, not approximate: the 64-bit
@@ -464,12 +460,23 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
 
     Scale: each band row is 24 bytes (band_key, doc_id, sig) — no payload
     duplication through the exchange (cf. the MinHash band-payload lesson);
-    65k bucket keys per band spread the shuffle; in-bucket pair fan-out is
-    capped at MAX_GROUP_MEMBERS against adversarial hot buckets.
+    65k bucket keys per band spread the shuffle. In-bucket compare cost is
+    capped at ``max_group`` (default MAX_GROUP_MEMBERS) DISTINCT
+    signatures per bucket — identical-signature runs (the core dedup
+    workload: byte-identical duplicate families) are exempt from the cap:
+    their pairs all qualify at hamming 0 with zero popcount compares, so a
+    duplicate family LARGER than the cap still emits every pair (compute
+    stays cap-bounded; only true output is quadratic). Cross-run pairs
+    compare one representative per distinct signature then expand to the
+    id cross product. Exactness therefore holds whenever a band bucket
+    has ≤ ``max_group`` distinct signatures — a bound adversarial inputs
+    can exceed, dup-heavy real ones don't.
     """
     if max_hamming > 3:
         raise ValueError("4x16-bit banding is only complete for "
                          "max_hamming <= 3")
+    if max_group is None:
+        max_group = MAX_GROUP_MEMBERS
     sigs = simhash_docs(docs_ds)
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
@@ -491,18 +498,47 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for _, grp in g.groupby("band_key", sort=False):
+        for key, grp in g.groupby("band_key", sort=False):
             if len(grp) < 2:
                 continue
-            grp = grp.sort_values("doc_id").head(MAX_GROUP_MEMBERS)
-            ids = grp["doc_id"].to_numpy()
+            grp = grp.sort_values(["sig", "doc_id"], kind="mergesort")
             sig = grp["sig"].to_numpy(dtype="int64").view(np.uint64)
-            iu, ju = np.triu_indices(len(ids), k=1)
-            ham = _popcount64(sig[iu] ^ sig[ju])
+            ids = grp["doc_id"].to_numpy()
+            run_start = np.concatenate(([True], sig[1:] != sig[:-1]))
+            starts = np.flatnonzero(run_start)
+            ends = np.append(starts[1:], len(sig))
+            # identical-signature runs: every pair qualifies at hamming 0,
+            # and identical sigs collide in ALL four bands — emit from
+            # band 0 only (no cross-band duplicate work), UNCAPPED: the
+            # cap bounds popcount compares and these need none; capping
+            # them would drop qualifying pairs for dup families larger
+            # than the cap (round-3 advisor finding)
+            if (int(key) >> 16) == 0:
+                run_sizes = ends - starts
+                for s, e in zip(starts[run_sizes >= 2],
+                                ends[run_sizes >= 2]):
+                    rids = ids[s:e]
+                    iu, ju = np.triu_indices(e - s, k=1)
+                    out.append(pd.DataFrame({
+                        "doc_a": rids[iu], "doc_b": rids[ju],
+                        "hamming": np.zeros(len(iu), dtype=np.int64)}))
+            # cross-run pairs: ONE popcount per distinct-signature pair
+            # (capped at max_group distinct sigs), qualifying run pairs
+            # expand to the full id cross product (output-bounded)
+            n_runs = min(len(starts), max_group)
+            if n_runs < 2:
+                continue
+            usig = sig[starts[:n_runs]]
+            iu, ju = np.triu_indices(n_runs, k=1)
+            ham = _popcount64(usig[iu] ^ usig[ju])
             keep = ham <= max_hamming
-            out.append(pd.DataFrame({"doc_a": ids[iu[keep]],
-                                     "doc_b": ids[ju[keep]],
-                                     "hamming": ham[keep].astype(np.int64)}))
+            for i, j, h in zip(iu[keep], ju[keep], ham[keep]):
+                a, b = ids[starts[i]:ends[i]], ids[starts[j]:ends[j]]
+                pa_, pb_ = np.repeat(a, len(b)), np.tile(b, len(a))
+                out.append(pd.DataFrame({
+                    "doc_a": np.minimum(pa_, pb_),
+                    "doc_b": np.maximum(pa_, pb_),
+                    "hamming": np.full(len(pa_), int(h), dtype=np.int64)}))
         if not out:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64"),

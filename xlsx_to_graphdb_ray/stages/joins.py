@@ -19,11 +19,51 @@ aggregates instead (see stages/triples.py).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pandas.util
 
 _SIDE = "__side"
 _BUCKET = "__bucket"
+
+
+def group_pairs(g: pd.DataFrame, key: str, id_col: str,
+                cap: int) -> pd.DataFrame:
+    """All intra-group id pairs (``id_lo < id_hi``) for every ``key``
+    group, fully vectorized: groups are bucketed by (capped) size and each
+    distinct size expands through ONE shared ``np.triu_indices`` template
+    over a gathered (n_groups, size) id matrix — no per-pair Python loop
+    (the ``simhash_pairs`` emission pattern, shared across the blocking
+    self-joins).
+
+    Groups larger than ``cap`` are truncated to their first ``cap``
+    ascending ids before pair emission (blocking-join fan-out guard, cf.
+    reference ``ingest_changes.py:144`` ``matched[:5]``)."""
+    g = g.sort_values([key, id_col], kind="mergesort")
+    keys = g[key].to_numpy()
+    ids = g[id_col].to_numpy()
+    key_parts, lo_parts, hi_parts = [], [], []
+    if len(g):
+        change = np.concatenate(([True], keys[1:] != keys[:-1]))
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, len(keys)))
+        csizes = np.minimum(sizes, cap)
+        for s in np.unique(csizes):
+            if s < 2:
+                continue
+            sel = np.flatnonzero(csizes == s)
+            mat = ids[starts[sel][:, None] + np.arange(s)[None, :]]
+            iu, ju = np.triu_indices(s, k=1)
+            key_parts.append(np.repeat(keys[starts[sel]], len(iu)))
+            lo_parts.append(mat[:, iu].ravel())
+            hi_parts.append(mat[:, ju].ravel())
+    if not lo_parts:
+        return pd.DataFrame({key: pd.Series([], dtype=g[key].dtype),
+                             "id_lo": pd.Series([], dtype=g[id_col].dtype),
+                             "id_hi": pd.Series([], dtype=g[id_col].dtype)})
+    return pd.DataFrame({key: np.concatenate(key_parts),
+                         "id_lo": np.concatenate(lo_parts),
+                         "id_hi": np.concatenate(hi_parts)})
 
 
 def _with_bucket(df: pd.DataFrame, keys: list[str], n: int) -> pd.Series:
