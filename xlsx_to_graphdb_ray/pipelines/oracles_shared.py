@@ -569,23 +569,13 @@ def mm_oracles(sf_dir: str) -> dict[str, str]:
                                      || substr(hx, 49, 2))::BIGINT
                    ELSE 0 END AS sample_rate
             FROM f""",
-        # the fake-decode arithmetic (tile data bytes to width*height,
-        # truncate, sum) reproduced exactly: full repetitions × total byte
-        # sum + prefix sum of the remainder
+        # REAL decode round-trip: the engine inflates+unfilters the PNG /
+        # views the WAV PCM frames and must reproduce the writer-truth
+        # sums the synth ENCODER recorded for what it actually encoded
+        # (the xlsx golden-count pattern applied to codecs)
         "mm_decoded_means": f"""
-            WITH m AS (
-              SELECT media_id,
-                     greatest(1, width * height)::BIGINT AS n,
-                     octet_length(data)::BIGINT AS len,
-                     [('0x' || substr(hex(data), 2*i-1, 2))::BIGINT
-                      for i in range(1, octet_length(data) + 1)] AS bts
-              FROM read_parquet('{p["media"]}'))
-            SELECT media_id,
-                   ((n // len) * list_aggregate(bts, 'sum')
-                    + coalesce(list_aggregate(bts[1:(n % len)], 'sum'), 0)
-                   )::BIGINT AS pixel_sum,
-                   n AS n_pixels
-            FROM m""",
+            SELECT media_id, pixel_sum, n_pixels
+            FROM read_parquet('{p["media"]}')""",
     }
 
 

@@ -212,4 +212,4 @@ def mm_header_meta(sf_dir: str):
 
 
 def mm_decoded_means(sf_dir: str):
-    return multimodal.decode_and_reduce(_media(sf_dir), fake=True)
+    return multimodal.decode_and_reduce(_media(sf_dir))  # REAL decode

@@ -1,24 +1,30 @@
 """Multimodal (binary-payload) column plumbing.
 
 Images/audio/video are opaque ``binary`` columns with typed metadata.
-Header-level parsing is REAL: ``parse_headers`` reads genuine PNG
-(signature + IHDR, big-endian) and RIFF/WAVE (fmt chunk, little-endian)
-byte layouts with pure numpy matrix arithmetic — no image/audio library
-needed. Only pixel/sample DECODING is stubbed (no codec libraries in this
-container): ``DecodeStub`` raises ``NotImplementedError`` unless
-``fake=True``, in which case it produces a deterministic fake decode
-(byte-derived pseudo-pixels) so downstream stages are exercisable
-end-to-end and oracle-checkable (``mm_decoded_means``).
+BOTH header parsing and pixel/sample decoding are REAL, on the stdlib:
+
+- ``parse_headers`` reads genuine PNG (signature + IHDR, big-endian) and
+  RIFF/WAVE (fmt chunk, little-endian) byte layouts with pure numpy
+  matrix arithmetic;
+- ``decode_png`` walks the chunk stream, inflates IDAT with ``zlib`` and
+  un-applies all five PNG scanline filters (None/Sub/Up/Average/Paeth,
+  spec §9) in numpy — no image library needed;
+- ``decode_wav`` walks the RIFF chunks and views the PCM data chunk with
+  one ``np.frombuffer`` (8-bit unsigned / 16-bit signed LE).
+
+``Decoder`` is the actor-pool decode stage (setup once per actor, T5
+pattern); ``DecodeStub`` remains only as the deterministic test double
+the fake-arithmetic tests use.
 
 Scale notes baked into the design: binary rows are large → small
-``batch_size`` and Arrow (zero-copy) batches; the decoder is an ACTOR pool
-(codec init once per actor, ref T5 pattern); feature extraction is
+``batch_size`` and Arrow (zero-copy) batches; feature extraction is
 vectorized numpy over the raw bytes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -114,10 +120,154 @@ def parse_headers(media_ds):
                                 batch_size=1024)
 
 
+_PNG_CTYPE_CH = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """REAL stdlib PNG decode → (height, width, channels) uint8.
+
+    Chunk walk → IHDR fields → concatenated-IDAT ``zlib.decompress`` →
+    per-scanline unfiltering (PNG spec §9: None/Sub/Up/Average/Paeth).
+    None/Up are whole-row numpy; Sub is a per-lane prefix sum (mod-256
+    addition distributes over cumsum); Average/Paeth are inherently
+    serial along x (each byte needs the reconstructed left neighbor) and
+    run as per-byte loops — correctness-first, the encoder side is fully
+    vectorized. Supports 8-bit depth, color types 0/2/4/6, no interlace
+    (what the synth writer and common ML corpora emit); anything else
+    raises ``ValueError``."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    width = height = ctype = None
+    idat: list[bytes] = []
+    off = 8
+    while off + 8 <= len(data):
+        ln = int.from_bytes(data[off:off + 4], "big")
+        tag = data[off + 4:off + 8]
+        payload = data[off + 8:off + 8 + ln]
+        if tag == b"IHDR":
+            width = int.from_bytes(payload[0:4], "big")
+            height = int.from_bytes(payload[4:8], "big")
+            bit_depth, ctype = payload[8], payload[9]
+            if bit_depth != 8:
+                raise ValueError(f"unsupported bit depth {bit_depth}")
+            if payload[12] != 0:
+                raise ValueError("interlaced PNG unsupported")
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+        off += 12 + ln
+    ch = _PNG_CTYPE_CH.get(ctype)
+    if width is None or ch is None:
+        raise ValueError(f"missing IHDR or unsupported color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("IDAT length does not match dimensions")
+    rm = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    bpp = ch
+    for y in range(height):
+        f = int(rm[y, 0])
+        line = rm[y, 1:].astype(np.int64)
+        if f == 0:
+            cur = line
+        elif f == 1:                       # Sub: per-lane prefix sum
+            cur = line.copy()
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(line[lane::bpp]) & 0xFF
+        elif f == 2:                       # Up
+            cur = (line + prev) & 0xFF
+        elif f == 3:                       # Average (serial in x)
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:                       # Paeth (serial in x)
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                    (b if pb_ <= pc_ else c)
+                cur[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad scanline filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(height, width, ch)
+
+
+def decode_wav(data: bytes) -> np.ndarray:
+    """REAL stdlib WAV PCM decode → flat int64 sample array (interleaved
+    channels). RIFF chunk walk (word-aligned) → fmt (must be PCM, 8 or 16
+    bit) → one ``np.frombuffer`` view of the data chunk: 8-bit samples
+    are unsigned, 16-bit signed little-endian (WAV spec)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    bits = None
+    off = 12
+    while off + 8 <= len(data):
+        tag = data[off:off + 4]
+        ln = int.from_bytes(data[off + 4:off + 8], "little")
+        payload = data[off + 8:off + 8 + ln]
+        if tag == b"fmt ":
+            if int.from_bytes(payload[0:2], "little") != 1:
+                raise ValueError("non-PCM WAV unsupported")
+            bits = int.from_bytes(payload[14:16], "little")
+        elif tag == b"data":
+            if bits == 8:
+                return np.frombuffer(payload, np.uint8).astype(np.int64)
+            if bits == 16:
+                return np.frombuffer(payload[:len(payload) & ~1],
+                                     "<i2").astype(np.int64)
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+        off += 8 + ln + (ln & 1)          # RIFF chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
+class Decoder:
+    """Actor-pool REAL decode stage: ``__init__`` = setup once per actor,
+    ``__call__`` = per-batch decode + reduce. Sniffs the container from
+    the payload bytes (never trusts metadata columns), decodes with
+    ``decode_png`` / ``decode_wav``, and emits the per-media value sum
+    and count — the reduced form ships instead of raw pixel lists.
+    ``strict=False`` maps undecodable payloads to zeros instead of
+    raising (quarantine-style)."""
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sums, counts = [], []
+        for d in batch["data"].to_pylist():
+            try:
+                if d is not None and d[:8] == b"\x89PNG\r\n\x1a\n":
+                    v = decode_png(d).astype(np.int64)
+                else:
+                    v = decode_wav(d)
+                sums.append(int(v.sum()))
+                counts.append(int(v.size))
+            except (ValueError, TypeError, zlib.error):
+                if self.strict:
+                    raise
+                sums.append(0)
+                counts.append(0)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "pixel_sum": pa.array(sums, pa.int64()),
+            "n_pixels": pa.array(counts, pa.int64()),
+        })
+
+
 class DecodeStub:
-    """Actor-pool decode stage: ``__init__`` = codec setup (once per actor),
-    ``__call__`` = per-batch decode. Real decode is NotImplemented; the
-    deterministic fake maps bytes → uint8 array of size width*height."""
+    """TEST DOUBLE (the real path is ``Decoder``): ``__init__`` = codec
+    setup (once per actor), ``__call__`` = per-batch fake decode mapping
+    bytes → uint8 array of size width*height via deterministic tiling."""
 
     def __init__(self, fake: bool = False):
         if not fake:
@@ -182,15 +332,23 @@ def byte_entropy(media_ds):
     return media_ds.map_batches(ent, batch_format="pandas", batch_size=1024)
 
 
-def decode_and_reduce(media_ds, fake: bool = True):
-    """Full plumbing demo: actor-pool decode (stub) → per-media pixel sum.
+def decode_and_reduce(media_ds, fake: bool = False):
+    """Actor-pool decode → per-media value sum/count.
 
-    Returns (media_id, pixel_sum, n_pixels) — exact integers, so the fake
-    decode path is bit-checkable against a SQL oracle (``mm_decoded_means``
-    reproduces the tile-truncate arithmetic per byte; the mean is
-    pixel_sum / n_pixels). Exercises the actor signature, small batch
-    sizing for fat rows, and list<uint8> schema round-trip.
+    Returns (media_id, pixel_sum, n_pixels) — exact integers. The DEFAULT
+    is the REAL stdlib decoder (``Decoder``: PNG zlib-inflate + numpy
+    unfilter, WAV PCM frombuffer); its oracle is the writer-truth
+    ``pixel_sum``/``n_pixels`` columns the synth encoder recorded for
+    what it actually encoded — a genuine encode→decode round-trip check
+    (``mm_decoded_means``). ``fake=True`` keeps the deterministic
+    ``DecodeStub`` tiling path as a test double. Exercises the actor
+    signature and small batch sizing for fat binary rows.
     """
+    if not fake:
+        return media_ds.map_batches(
+            Decoder, batch_format="pyarrow", batch_size=256,
+            concurrency=(1, 4))
+
     decoded = media_ds.map_batches(
         DecodeStub, fn_constructor_kwargs={"fake": fake},
         batch_format="pyarrow", batch_size=256, concurrency=(1, 4))

@@ -83,7 +83,7 @@ REVISIONS = ["A", "B", "C", "D"]
 TS_BASE_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in microseconds
 
 DATA_ROOT = "/tmp/graft_data"
-SYNTH_VERSION = "8"  # bump on any generator change → new cache dir
+SYNTH_VERSION = "9"  # bump on any generator change → new cache dir
 
 
 def n_entities_for(sf: float) -> int:
@@ -451,6 +451,57 @@ def png_header(w: int, h: int, color_type: int = 2,
             + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF))
 
 
+def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Elementwise PNG Paeth predictor (spec §9.4) over int64 arrays."""
+    p = a + b - c
+    pa_, pb_, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa_ <= pb_) & (pa_ <= pc_), a,
+                    np.where(pb_ <= pc_, b, c))
+
+
+def png_encode(pixels: np.ndarray, color_type: int,
+               filter_type: int = 0) -> bytes:
+    """A COMPLETE, decodable 8-bit PNG: signature + IHDR + one IDAT
+    (zlib-compressed scanlines, all rows filtered with ``filter_type``
+    0-4) + IEND. ``pixels`` is (h, w, channels) uint8. Encoding predictors
+    are fully vectorized (they only reference already-known recon bytes);
+    the matching decoder lives in ``stages/multimodal.decode_png``."""
+    hgt, wid, ch = pixels.shape
+    bpp = ch
+    lines = []
+    prev = np.zeros(wid * ch, dtype=np.int64)
+    for y in range(hgt):
+        cur = pixels[y].reshape(-1).astype(np.int64)
+        left = np.zeros_like(cur)
+        left[bpp:] = cur[:-bpp]
+        upleft = np.zeros_like(prev)
+        upleft[bpp:] = prev[:-bpp]
+        if filter_type == 0:
+            pred = 0
+        elif filter_type == 1:
+            pred = left
+        elif filter_type == 2:
+            pred = prev
+        elif filter_type == 3:
+            pred = (left + prev) >> 1
+        elif filter_type == 4:
+            pred = _paeth_predict(left, prev, upleft)
+        else:
+            raise ValueError(f"bad PNG filter type {filter_type}")
+        filt = (cur - pred) & 0xFF
+        lines.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
+        prev = cur
+    idat = zlib.compress(b"".join(lines), 6)
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        body = tag + payload
+        return (struct.pack(">I", len(payload)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    return (png_header(wid, hgt, color_type=color_type)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
 def wav_header(sample_rate: int, channels: int, bits: int,
                n_data: int) -> bytes:
     """A REAL RIFF/WAVE header (44-byte canonical PCM layout): RIFF size,
@@ -466,10 +517,13 @@ def wav_header(sample_rate: int, channels: int, bits: int,
 
 def make_media(sf: float) -> pa.Table:
     """Deterministic binary media table (images + audio) for the multimodal
-    stages: each payload starts with a REAL container header (PNG
-    signature+IHDR with CRC, or RIFF/WAVE fmt) followed by splitmix64
-    pseudo-content, so header parsers exercise genuine byte layouts while
-    checksums/feature values stay stable everywhere."""
+    stages: every payload is a COMPLETE, decodable file — real PNG
+    (IHDR + zlib IDAT + IEND, scanline filter 0-4 varied per image) or
+    real RIFF/WAVE PCM (8/16-bit, 1-2 channels) — with splitmix64
+    pseudo-content. Writer-truth columns ``pixel_sum`` / ``n_pixels``
+    (sum/count of decoded channel values resp. PCM samples) let the
+    ``mm_decoded_means`` oracle check the REAL decoder against what was
+    encoded, the same golden pattern the xlsx writer uses for workbooks."""
     n = max(40, int(round(5_000 * sf)))
     k = np.arange(n, dtype=np.uint64)
     h = mix2(k, np.full(n, 99, dtype=np.uint64))
@@ -486,19 +540,35 @@ def make_media(sf: float) -> pa.Table:
     wav_ch = 1 + ((h >> np.uint64(32)) % np.uint64(2)).astype(np.int64)
     wav_bits = 8 * (1 + ((h >> np.uint64(40))
                          % np.uint64(2)).astype(np.int64))
-    payloads = []
+    png_channels = {0: 1, 2: 3, 6: 4}
+    payloads, sums, counts = [], [], []
     for i in range(n):
-        m = int(200 + (int(h[i]) % 800))
-        words = mix2(np.full(m // 8 + 1, i, dtype=np.uint64),
-                     np.arange(m // 8 + 1, dtype=np.uint64))
-        body = words.tobytes()[:m]
         if is_img[i]:
-            head = png_header(int(widths[i]), int(heights[i]),
-                              color_type=int(ctypes[i]))
+            w_, h_ = int(widths[i]), int(heights[i])
+            ch = png_channels[int(ctypes[i])]
+            npx = w_ * h_ * ch
+            words = mix2(np.full(npx // 8 + 1, i, dtype=np.uint64),
+                         np.arange(npx // 8 + 1, dtype=np.uint64))
+            pix = np.frombuffer(words.tobytes()[:npx], np.uint8) \
+                .reshape(h_, w_, ch)
+            ftype = int((h[i] >> np.uint64(48)) % np.uint64(5))
+            payloads.append(png_encode(pix, int(ctypes[i]),
+                                       filter_type=ftype))
+            sums.append(int(pix.sum(dtype=np.int64)))
+            counts.append(npx)
         else:
-            head = wav_header(int(rates[i]), int(wav_ch[i]),
-                              int(wav_bits[i]), m)
-        payloads.append(head + body)
+            bits, chn = int(wav_bits[i]), int(wav_ch[i])
+            block = chn * (bits // 8)
+            m = int(200 + (int(h[i]) % 800))
+            m -= m % block            # whole PCM frames only (valid stream)
+            words = mix2(np.full(m // 8 + 1, i, dtype=np.uint64),
+                         np.arange(m // 8 + 1, dtype=np.uint64))
+            body = words.tobytes()[:m]
+            payloads.append(wav_header(int(rates[i]), chn, bits, m) + body)
+            s = np.frombuffer(body, np.uint8).astype(np.int64) if bits == 8 \
+                else np.frombuffer(body, "<i2").astype(np.int64)
+            sums.append(int(s.sum()))
+            counts.append(int(s.size))
     return pa.table({
         "media_id": pa.array(k.astype(np.int64)),
         "kind": pa.array(np.where(is_img, "image", "audio").tolist(),
@@ -509,6 +579,8 @@ def make_media(sf: float) -> pa.Table:
         "height": pa.array(heights.astype(np.int32)),
         "sample_rate": pa.array(rates.astype(np.int32)),
         "data": pa.array(payloads, pa.binary()),
+        "pixel_sum": pa.array(sums, pa.int64()),
+        "n_pixels": pa.array(counts, pa.int64()),
     })
 
 
