@@ -157,6 +157,7 @@ def run_bench() -> dict:
     timed("rel_distinct_nations", r.distinct_active_nations)
     timed("rel_region_order_stats", r.region_order_stats)
 
+    from xlsx_to_graphdb_ray.stages import dedup_docs
     out = {
         "metric": "kg_triples_e2e",
         "value": round(t_pipeline, 3),
@@ -168,6 +169,9 @@ def run_bench() -> dict:
         "turns": int(turns_rows),
         "triples_per_sec": round(n_triples / t_pipeline, 1),
         "turns_per_sec": round(turns_rows / t_pipeline, 1),
+        # which dispatch tier the minhash candidate stage took this run
+        # (tier flips change the wall time materially — make them visible)
+        "docs_minhash_pairs_tier": dedup_docs.LAST_MINHASH_TIER,
     }
     ray.shutdown()
     return out

@@ -176,6 +176,11 @@ PAIR_DRIVER_LIMIT = 500_000
 # group work at this size (same guarded dual-path as closure's edge collect)
 BAND_DRIVER_LIMIT = 2_000_000
 
+# observability: which dispatch tier the LAST minhash_lsh_pairs call in
+# this process took ("driver" | "exchange" | "hash-join") — bench.py
+# records it so tier flips between rounds are visible in BENCH_r{N}.json
+LAST_MINHASH_TIER: str | None = None
+
 
 def minhash_lsh_pairs(docs_ds, jaccard_t: float = JACCARD_T):
     """Near-dup pairs via MinHash banding + exact verification.
@@ -225,16 +230,20 @@ def minhash_lsh_pairs(docs_ds, jaccard_t: float = JACCARD_T):
 
     banded = docs_ds.map_batches(bands, batch_format="pandas")
 
+    global LAST_MINHASH_TIER
     # --- fast path A: lean band rows fit the driver → no exchange at all ----
     try:
         pairs = bucket_pairs(banded.to_pandas(limit=BAND_DRIVER_LIMIT))
+        LAST_MINHASH_TIER = "driver"
     except ValueError:
         # --- fast path B: exchange for candidates, collect the id pairs -----
         cand = bucketed_map_groups(banded, ["band_key"], bucket_pairs)
         try:
             pairs = cand.to_pandas(limit=PAIR_DRIVER_LIMIT)
+            LAST_MINHASH_TIER = "exchange"
         except ValueError:
             pairs = None
+            LAST_MINHASH_TIER = "hash-join"
     if pairs is not None:
         # a pair can collide in several bands → dedup (driver-side here;
         # the fallback uses the grouped_distinct exchange instead)
