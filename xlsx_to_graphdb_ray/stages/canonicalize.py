@@ -77,13 +77,20 @@ def sameas_components(pairs_ds, method: str = "auto",
     """
     if method in ("auto", "driver"):
         # single execution: pull the (derived, small) pair list and dispatch
-        # on its actual size — to_pandas(limit) raises past the threshold
+        # on its actual size — to_pandas(limit) raises past the threshold.
+        # Per-block distinct FIRST: the same sameAs assertion repeats across
+        # turns, so the raw pair stream scales with input while the distinct
+        # alias vocabulary is bounded by the entity dimension (measured
+        # ~20× smaller at sf4, where the duplicated stream tripped the 2M
+        # driver limit into the iterative path for a 107k-pair vocabulary)
+        slim = pairs_ds.select_columns(["a_id", "b_id"]).map_batches(
+            lambda b: b.drop_duplicates(), batch_format="pandas",
+            batch_size=None)
         try:
-            pairs = pairs_ds.select_columns(["a_id", "b_id"]) \
-                .to_pandas(limit=DRIVER_LIMIT)
+            pairs = slim.to_pandas(limit=DRIVER_LIMIT)
             if len(pairs) == 0:
                 return pd.DataFrame({"entity_id": [], "canon_id": []})
-            return _union_find(pairs)
+            return _union_find(pairs.drop_duplicates())
         except ValueError:
             if method == "driver":
                 raise

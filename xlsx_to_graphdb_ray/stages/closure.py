@@ -105,10 +105,17 @@ def transitive_closure(edges_ds, method: str = "auto", max_rounds: int = 64):
     """
     if method in ("auto", "driver"):
         # single execution: pull the (derived, small) edge list and dispatch
-        # on its actual size — to_pandas(limit) raises past the threshold
+        # on its actual size — to_pandas(limit) raises past the threshold.
+        # Per-block distinct FIRST: the same hasComponent edge repeats
+        # across turns, so the raw edge stream scales with input while the
+        # distinct edge set is bounded by the entity dimension — dedup in
+        # parallel before anything crosses to the driver
+        slim = edges_ds.select_columns(["parent", "child"]).map_batches(
+            lambda b: b.drop_duplicates(), batch_format="pandas",
+            batch_size=None)
         try:
-            edges = edges_ds.select_columns(["parent", "child"]) \
-                .to_pandas(limit=DRIVER_LIMIT)
+            edges = slim.to_pandas(limit=DRIVER_LIMIT)
+            edges = edges.drop_duplicates()
         except ValueError:
             if method == "driver":
                 raise
