@@ -127,6 +127,8 @@ def run_bench() -> dict:
     timed("docs_decontaminate", tr.docs_decontaminate)
     timed("docs_mix_report", tr.docs_mix_report)
     timed("docs_train_mix", tr.docs_train_mix)
+    timed("docs_repetition", tr.docs_repetition)
+    timed("docs_pii_scrub", tr.docs_pii_scrub)
     timed("ann_topk", tr.ann_topk)
     timed("ann_ivf_topk", tr.ann_ivf_topk)
     timed("vecs_centroid_assign", tr.vecs_centroid_assign)

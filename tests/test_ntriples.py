@@ -119,3 +119,96 @@ def test_overwrite_clears_stale_parts(ray_session, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         write_ntriples(small, out, mode="replace")
+
+
+# ---------------------------------------------------------------------------
+# K6 load-script generator (ref scripts/generate_load_script.py:9-37)
+# ---------------------------------------------------------------------------
+
+def _fake_curl(tmp_path):
+    """A PATH-front curl stub that logs every invocation and succeeds —
+    lets the generated loader run end-to-end with no network."""
+    import os
+    bindir = tmp_path / "bin"
+    bindir.mkdir(exist_ok=True)
+    log = tmp_path / "curl.log"
+    stub = bindir / "curl"
+    stub.write_text(
+        "#!/bin/bash\n"
+        # record the line count of any --data-binary @file payload so the
+        # test can assert the per-POST triple cap
+        "n=''\n"
+        "for a in \"$@\"; do\n"
+        "  case $a in @*) n=$(wc -l < \"${a#@}\");; esac\n"
+        "done\n"
+        f'echo "$n|$@" >> {log}\n'
+    )
+    os.chmod(stub, 0o755)
+    env = dict(os.environ, PATH=f"{bindir}:{os.environ['PATH']}")
+    return env, log
+
+
+def test_load_script_generation_and_resume(ray_session, tmp_path):
+    import os
+    import subprocess
+
+    from xlsx_to_graphdb_ray.sinks.load_script import generate_load_script
+
+    out = str(tmp_path / "nt")
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "subj": [f"urn:e:{i}" for i in range(50)],
+        "pred": ["urn:p"] * 50,
+        "obj": [f"v{i}" for i in range(50)],
+        "obj_lit": [True] * 50})).repartition(4)
+    write_ntriples(ds, out)
+    parts = sorted(f for f in os.listdir(out) if f.endswith(".nt"))
+    assert parts
+
+    script_path = str(tmp_path / "load.sh")
+    text = generate_load_script(out, "http://db:7200", "kg",
+                                batch_triples=7, out_path=script_path)
+    # every part is referenced; preflight probe present; syntax-valid
+    for p in parts:
+        assert p in text
+    assert "/repositories/kg/size" in text or '"$ENDPOINT/repositories/$REPO/size"' in text
+    subprocess.run(["bash", "-n", script_path], check=True)
+
+    env, log = _fake_curl(tmp_path)
+    r = subprocess.run(["bash", script_path], env=env,
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    calls = log.read_text().splitlines()
+    posts = [c for c in calls if "--data-binary" in c]
+    # batch=7 over 50 triples across 4 parts -> ceil per part, >= 8 POSTs
+    assert len(posts) >= 8
+    # no posted chunk may exceed the 7-triple cap, and all 50 arrive
+    sizes = [int(c.split("|", 1)[0]) for c in posts]
+    assert max(sizes) <= 7 and sum(sizes) == 50
+    done = os.listdir(os.path.join(out, "_loaded"))
+    assert sorted(done) == [p + ".done" for p in parts]
+
+    # rerun: markers make it a no-op (resumable-output contract)
+    log.write_text("")
+    r2 = subprocess.run(["bash", script_path], env=env,
+                        capture_output=True, text=True)
+    assert r2.returncode == 0
+    posts2 = [c for c in log.read_text().splitlines() if "--data-binary" in c]
+    assert posts2 == []
+    assert "skip (done)" in r2.stdout
+
+
+def test_load_script_validates_batch_and_empty_dir(tmp_path):
+    import pytest
+
+    from xlsx_to_graphdb_ray.functions.validation import ValidationError
+    from xlsx_to_graphdb_ray.sinks.load_script import generate_load_script
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no .nt part"):
+        generate_load_script(str(empty))
+    (empty / "a.nt").write_text("<urn:a> <urn:p> <urn:b> .\n")
+    with pytest.raises(ValidationError):
+        generate_load_script(str(empty), batch_triples=0)
+    with pytest.raises(ValidationError):
+        generate_load_script(str(empty), batch_triples=10001)

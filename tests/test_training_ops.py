@@ -502,3 +502,69 @@ def test_vec_dup_clusters_planted(ray_session):
     pd.testing.assert_frame_equal(
         out.sort_values(key).reset_index(drop=True),
         exact.sort_values(key).reset_index(drop=True))
+
+
+def test_repetition_kernel_hand_case():
+    """Hand-checkable ratios: 'a a a a b' → top token 4/5, top bigram
+    'a a' 3/4, 3-grams {aaa×2, aab} → dup 1/3."""
+    import pyarrow as pa
+
+    from xlsx_to_graphdb_ray.stages.textstats import repetition_batch
+
+    t = pa.table({"doc_id": [0, 1, 2],
+                  "text": ["a a a a b", "x", "p q r s t u v w"]})
+    r = repetition_batch(t).to_pandas().set_index("doc_id")
+    assert r.loc[0, "top_token_ratio"] == 0.8
+    assert r.loc[0, "top_bigram_ratio"] == 0.75
+    assert abs(r.loc[0, "dup_3gram_ratio"] - round(1 - 2 / 3, 6)) < 1e-9
+    assert r.loc[0, "repetitive"] == 1
+    # single-token doc: no bigrams/3-grams, ratios zero except top token 1.0
+    assert r.loc[1, "top_token_ratio"] == 1.0
+    assert r.loc[1, "top_bigram_ratio"] == 0.0
+    assert r.loc[1, "dup_3gram_ratio"] == 0.0
+    # all-distinct long doc: nothing repeats
+    assert r.loc[2, "repetitive"] == 0
+    assert r.loc[2, "dup_3gram_ratio"] == 0.0
+
+
+def test_pii_scrub_planted_oracle(ray_session, tmp_path):
+    """Planted PII corpus: redaction + counts must match the DuckDB RE2
+    oracle bit-for-bit (same engine-parity contract as docs_pii_scrub,
+    but on text that actually CONTAINS PII)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xlsx_to_graphdb_ray.pipelines.oracles_shared import shared_oracles
+    from xlsx_to_graphdb_ray.stages.textstats import pii_scrub
+
+    texts = ["contact john.doe+spam@ex-ample.co.uk now",
+             "id 1234567 and 987654321 ok",
+             "mixed a@b.io plus 000000 tail",
+             "clean text no pii",
+             "short 12345 under the 6-digit floor",
+             "e: x@y.z not-an-email 9999999@10000000",
+             None]
+    t = pa.table({"doc_id": list(range(len(texts))),
+                  "lang": ["en"] * len(texts),
+                  "source": ["s"] * len(texts),
+                  "n_chars": [len(x or "") for x in texts],
+                  "text": texts})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = pii_scrub(ray.data.read_parquet(str(d / "documents.parquet"))) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    want = con.sql(shared_oracles(str(d))["docs_pii_scrub"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["n_email"].tolist() == want["n_email"].tolist()
+    assert got["n_number"].tolist() == want["n_number"].tolist()
+    assert got["clean_text"].tolist() == want["clean_text"].tolist()
+    # the planted rows actually exercised the patterns
+    assert got["n_email"].sum() >= 2 and got["n_number"].sum() >= 4
+    assert "<EMAIL>" in got.loc[0, "clean_text"]
+    assert got.loc[4, "clean_text"].count("12345") == 1   # under the floor

@@ -29,6 +29,17 @@ def main(argv=None) -> int:
     ap.add_argument("--no-dedup", action="store_true")
     ap.add_argument("--flat-partitions", action="store_true",
                     help="single dir instead of pred-partitioned layout")
+    ap.add_argument("--load-script", default=None, metavar="PATH",
+                    help="with --ntriples-out: also generate a resumable "
+                         "shell loader (K6) that POSTs the .nt parts to a "
+                         "SPARQL endpoint")
+    ap.add_argument("--endpoint", default="http://127.0.0.1:7200",
+                    help="SPARQL endpoint base URL for --load-script")
+    ap.add_argument("--repository", default="imports",
+                    help="repository name for --load-script")
+    ap.add_argument("--batch-size", type=int, default=1000,
+                    help="triples per POST for --load-script (max 10000, "
+                         "ref spreadsheet_loader.py:1703)")
     ap.add_argument("--ntriples-out", default=None,
                     help="also emit RDF N-Triples part files to this dir")
     ap.add_argument("--xlsx", default=None,
@@ -61,6 +72,12 @@ def main(argv=None) -> int:
         if args.ntriples_out:
             from .sinks.ntriples import write_ntriples
             write_ntriples(ds, args.ntriples_out)
+            if args.load_script:
+                from .sinks.load_script import generate_load_script
+                generate_load_script(
+                    args.ntriples_out, args.endpoint, args.repository,
+                    batch_triples=args.batch_size,
+                    out_path=args.load_script)
         print(json.dumps(stats, default=str))
         ray.shutdown()
         return 0
@@ -79,6 +96,14 @@ def main(argv=None) -> int:
         ntriples_out=args.ntriples_out,
     )
     stats = run_pipeline(cfg)
+    if args.load_script:
+        if not args.ntriples_out:
+            ap.error("--load-script requires --ntriples-out")
+        from .sinks.load_script import generate_load_script
+        stats["load_script"] = args.load_script
+        generate_load_script(
+            args.ntriples_out, args.endpoint, args.repository,
+            batch_triples=args.batch_size, out_path=args.load_script)
     print(json.dumps(stats, default=str))
     ray.shutdown()
     return 0

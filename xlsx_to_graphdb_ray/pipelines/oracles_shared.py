@@ -9,7 +9,9 @@ from __future__ import annotations
 
 from .. import synth
 from ..stages.dedup_docs import JACCARD_T, K_HASHES, N_BANDS
-from ..stages.textstats import LANG_MARKERS, STOPWORDS
+from ..stages.textstats import (LANG_MARKERS, PII_PATTERNS,
+                                REP_DUP_3GRAM_MAX, REP_TOP_TOKEN_MAX,
+                                STOPWORDS)
 from .training import ANN_QUERY_IDS
 
 
@@ -441,6 +443,62 @@ def text_oracles() -> dict[str, str]:
                      WHERE q.quality = 1 AND lp.lang_pred = 'en')
             SELECT text_md5, min(doc_id) AS doc_id, count(*) AS n_copies
             FROM elig GROUP BY text_md5""",
+        # Gopher-style repetition signals; bigrams/3-grams via lockstep
+        # unnest + positional self-joins (mirrors stages/textstats.py
+        # repetition_batch, which is bit-exact on round(…, 6))
+        "docs_repetition": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(coalesce(text,''), ' ')) AS tok,
+                     generate_subscripts(
+                         string_split(coalesce(text,''), ' '), 1) AS i
+              FROM documents),
+            nt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+            tt AS (SELECT doc_id, max(c) AS top_tok FROM (
+                    SELECT doc_id, tok, count(*) c FROM toks
+                    GROUP BY 1, 2) GROUP BY 1),
+            bg AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS g
+                   FROM toks a
+                   JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            tb AS (SELECT doc_id, max(c) AS top_bg FROM (
+                    SELECT doc_id, g, count(*) c FROM bg
+                    GROUP BY 1, 2) GROUP BY 1),
+            tg AS (SELECT a.doc_id,
+                          a.tok || ' ' || b.tok || ' ' || c.tok AS g
+                   FROM toks a
+                   JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                   JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+            t3 AS (SELECT doc_id, count(*) AS n3, count(DISTINCT g) AS d3
+                   FROM tg GROUP BY 1),
+            r AS (SELECT nt.doc_id,
+                    round(tt.top_tok * 1.0 / greatest(nt.n, 1), 6)
+                        AS top_token_ratio,
+                    round(coalesce(tb.top_bg, 0) * 1.0
+                          / greatest(nt.n - 1, 1), 6) AS top_bigram_ratio,
+                    round(coalesce(1.0 - t3.d3 * 1.0 / t3.n3, 0.0), 6)
+                        AS dup_3gram_ratio
+                  FROM nt LEFT JOIN tt USING (doc_id)
+                          LEFT JOIN tb USING (doc_id)
+                          LEFT JOIN t3 USING (doc_id))
+            SELECT doc_id, top_token_ratio, top_bigram_ratio,
+                   dup_3gram_ratio,
+                   CASE WHEN top_token_ratio > {REP_TOP_TOKEN_MAX}
+                         OR dup_3gram_ratio > {REP_DUP_3GRAM_MAX}
+                        THEN 1 ELSE 0 END AS repetitive
+            FROM r""",
+        # RE2 redaction on both engines; numbers counted AFTER email
+        # redaction so an address's digits are never double-counted
+        "docs_pii_scrub": f"""
+            SELECT doc_id,
+              len(regexp_extract_all(coalesce(text,''),
+                  '{PII_PATTERNS[0][1]}')) AS n_email,
+              len(regexp_extract_all(regexp_replace(coalesce(text,''),
+                  '{PII_PATTERNS[0][1]}', '<EMAIL>', 'g'),
+                  '{PII_PATTERNS[1][1]}')) AS n_number,
+              regexp_replace(regexp_replace(coalesce(text,''),
+                  '{PII_PATTERNS[0][1]}', '<EMAIL>', 'g'),
+                  '{PII_PATTERNS[1][1]}', '<NUM>', 'g') AS clean_text
+            FROM documents""",
     }
 
 

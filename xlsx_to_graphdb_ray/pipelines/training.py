@@ -159,6 +159,14 @@ def docs_train_mix(sf_dir: str):
     return textstats.train_mix(_documents(sf_dir))
 
 
+def docs_repetition(sf_dir: str):
+    return textstats.repetition_stats(_documents(sf_dir))
+
+
+def docs_pii_scrub(sf_dir: str):
+    return textstats.pii_scrub(_documents(sf_dir))
+
+
 # --- similarity search ------------------------------------------------------
 
 def ann_topk(sf_dir: str):

@@ -415,3 +415,114 @@ def train_mix(docs_ds):
     return grouped_agg(elig, ["text_md5"],
                        [("doc_id", "doc_id", "min"),
                         ("n_copies", None, "count")], n_buckets=16)
+
+
+# ---------------------------------------------------------------------------
+# Repetition filtering (Gopher-style) and PII scrubbing
+# ---------------------------------------------------------------------------
+
+REP_TOP_TOKEN_MAX = 0.15   # Gopher-ish: docs dominated by one token
+REP_DUP_3GRAM_MAX = 0.05   # docs with repeated 3-gram spans
+
+
+def repetition_batch(b: pa.Table) -> pa.Table:
+    """Per-batch repetition kernel: top-token ratio, top-bigram ratio and
+    duplicate-3-gram ratio per document (the Gopher repetition-removal
+    rules re-expressed over whitespace tokens). No shuffle — pure per-doc
+    stats; the grouped work is a pandas hash groupby over the flattened
+    (row, gram) pairs of ONE batch, never the corpus."""
+    text = pc.fill_null(b["text"], "")
+    toks = pc.split_pattern(text, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lengths = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    n_rows = len(lengths)
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
+
+    def top_count(rows: np.ndarray, grams: np.ndarray) -> np.ndarray:
+        """max occurrence count of any gram per row (0 where absent)."""
+        out = np.zeros(n_rows, dtype=np.int64)
+        if len(rows):
+            c = pd.DataFrame({"r": rows, "g": grams}) \
+                .groupby(["r", "g"], sort=False).size()
+            m = c.groupby(level=0).max()
+            out[m.index.to_numpy()] = m.to_numpy()
+        return out
+
+    def distinct_count(rows: np.ndarray, grams: np.ndarray) -> np.ndarray:
+        out = np.zeros(n_rows, dtype=np.int64)
+        if len(rows):
+            d = pd.DataFrame({"r": rows, "g": grams}).drop_duplicates() \
+                .groupby("r", sort=False).size()
+            out[d.index.to_numpy()] = d.to_numpy()
+        return out
+
+    # unigrams
+    top_tok = top_count(row_idx, flat)
+    n1 = np.maximum(lengths, 1)
+
+    # bigrams / trigrams: adjacent positions whose row doesn't change
+    same1 = row_idx[:-1] == row_idx[1:] if len(flat) > 1 else \
+        np.zeros(0, dtype=bool)
+    bg = (pd.Series(flat[:-1]) + " " + pd.Series(flat[1:])).to_numpy() \
+        if len(flat) > 1 else np.zeros(0, dtype=object)
+    top_bg = top_count(row_idx[:-1][same1], bg[same1])
+    n2 = np.maximum(lengths - 1, 1)
+
+    same2 = same1[:-1] & same1[1:] if len(flat) > 2 else \
+        np.zeros(0, dtype=bool)
+    tg = (pd.Series(bg[:-1]) + " " + pd.Series(flat[2:])).to_numpy() \
+        if len(flat) > 2 else np.zeros(0, dtype=object)
+    rows3 = row_idx[:-2][same2] if len(flat) > 2 else np.zeros(0, np.int64)
+    d3 = distinct_count(rows3, tg[same2] if len(flat) > 2 else tg)
+    n3_real = np.maximum(lengths - 2, 0)
+    n3 = np.maximum(n3_real, 1)
+
+    top_token_ratio = np.round(top_tok / n1, 6)
+    top_bigram_ratio = np.round(top_bg / n2, 6)
+    dup_3gram_ratio = np.round(
+        np.where(n3_real > 0, 1.0 - d3 / n3, 0.0), 6)
+    repetitive = ((top_token_ratio > REP_TOP_TOKEN_MAX)
+                  | (dup_3gram_ratio > REP_DUP_3GRAM_MAX)).astype(np.int64)
+    return pa.table({"doc_id": b["doc_id"],
+                     "top_token_ratio": pa.array(top_token_ratio),
+                     "top_bigram_ratio": pa.array(top_bigram_ratio),
+                     "dup_3gram_ratio": pa.array(dup_3gram_ratio),
+                     "repetitive": pa.array(repetitive)})
+
+
+def repetition_stats(docs_ds):
+    """(doc_id, top_token_ratio, top_bigram_ratio, dup_3gram_ratio,
+    repetitive) — Gopher-style repetition-removal signals. ``repetitive=1``
+    when one token dominates (> REP_TOP_TOKEN_MAX of tokens) or the
+    3-grams are mostly duplicates (> REP_DUP_3GRAM_MAX repeats)."""
+    return docs_ds.map_batches(repetition_batch, batch_format="pyarrow")
+
+
+# (name, RE2 pattern, replacement) — applied IN ORDER; counting happens on
+# the text as already redacted by earlier patterns, so an email's digits
+# are never double-counted as a number. RE2 on both engines (Arrow and
+# DuckDB), so oracle parity is exact.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("number", r"[0-9]{6,}", "<NUM>"),
+)
+
+
+def pii_scrub(ds, col: str = "text", id_col: str = "doc_id"):
+    """(id, n_email, n_number, clean_text) — PII redaction for training
+    corpora: vectorized RE2 kernels (``count_substring_regex`` +
+    ``replace_substring_regex``), zero shuffles, zero Python row loops."""
+
+    def scrub(b: pa.Table) -> pa.Table:
+        clean = pc.fill_null(b[col], "")
+        cols: dict = {id_col: b[id_col]}
+        for name, pat, repl in PII_PATTERNS:
+            cols[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(clean, pat), pa.int64())
+            clean = pc.replace_substring_regex(clean, pat, repl)
+        cols["clean_text"] = clean
+        return pa.table(cols)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
