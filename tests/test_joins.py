@@ -56,3 +56,24 @@ def test_collision_suffix(ray_session):
     r = ray.data.from_pandas(pd.DataFrame({"k": ["a"], "v": [2]}))
     out = hash_join(l, r, on=["k"]).to_pandas()
     assert out["v"].tolist() == [1] and out["v_r"].tolist() == [2]
+
+
+def test_prefix_pairs_broadcast_and_fallback_agree(ray_session, monkeypatch):
+    """kg_prefix_pairs: the broadcast anti-join (default) and the
+    distributed hash anti-join fallback must emit the identical pair set."""
+    import pandas as pd
+
+    from xlsx_to_graphdb_ray.pipelines import queries as q
+    from xlsx_to_graphdb_ray.stages import closure
+
+    sf = "/root/testdata/sf0.001"
+
+    def norm(ds):
+        return ds.to_pandas().sort_values(["id_lo", "id_hi"]) \
+            .reset_index(drop=True)
+
+    fast = norm(q.kg_prefix_pairs(sf))
+    monkeypatch.setattr(closure, "DRIVER_LIMIT", 0)   # force fallback
+    slow = norm(q.kg_prefix_pairs(sf))
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) > 0

@@ -226,7 +226,39 @@ def kg_prefix_pairs(sf_dir: str):
         ents.map_batches(blocks, batch_format="pandas"), ["blk"], pairs,
         n_buckets=16)
     comp = _canonical_component_edges(sf_dir)
-    # anti-join both orientations (undirected "already connected")
+
+    # the anti side is the DISTINCT canonical hasComponent edge vocabulary —
+    # entity-bounded, so broadcast it (both orientations in one string
+    # Index, probed once per batch: zero exchanges) instead of shuffling
+    # the O(pairs) candidate set through two chained anti-joins.
+    # Per-block distinct BEFORE the guarded collect (nothing
+    # input-proportional crosses to the driver); past the limit, fall back
+    # to the distributed hash anti-joins.
+    from ..stages import closure
+
+    try:
+        edges = comp.map_batches(
+            lambda b: b.drop_duplicates(), batch_format="pandas") \
+            .to_pandas(limit=closure.DRIVER_LIMIT).drop_duplicates()
+    except ValueError:
+        edges = None
+    if edges is not None:
+        fwd = edges["parent"] + "|" + edges["child"]
+        rev = edges["child"] + "|" + edges["parent"]
+        idx_ref = ray.put(pd.Index(
+            pd.concat([fwd, rev], ignore_index=True).unique()))
+
+        def anti(b: pd.DataFrame, *, idx_ref) -> pd.DataFrame:
+            idx = ray.get(idx_ref) if isinstance(idx_ref, ray.ObjectRef) \
+                else idx_ref
+            keys = b["id_lo"] + "|" + b["id_hi"]
+            return b[idx.get_indexer(keys) == -1]
+
+        return cand.map_batches(anti, fn_kwargs={"idx_ref": idx_ref},
+                                batch_format="pandas")
+
+    # distributed fallback: anti-join both orientations (undirected
+    # "already connected")
     step1 = hash_join(cand, comp, on=["id_lo", "id_hi"],
                       right_on=["parent", "child"], how="left_anti")
     return hash_join(step1, comp, on=["id_hi", "id_lo"],
