@@ -43,12 +43,19 @@ def token_stats(docs_ds):
 
 def _uniq_len(toks: pa.ChunkedArray):
     # per-row distinct token count: list_unique isn't in pyarrow 16 as a
-    # kernel; do it via pandas sets (still C-loop over small lists)
-    import numpy as np
+    # kernel — flatten once and count distinct (row, token) pairs with a
+    # pandas hash groupby (no per-row Python sets)
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
-    out = np.fromiter((len(set(x)) for x in toks.to_pylist()),
-                      dtype=np.int64, count=len(toks))
+    n_rows = len(toks)
+    lengths = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
+    out = np.zeros(n_rows, dtype=np.int64)
+    if len(flat):
+        d = pd.DataFrame({"r": row_idx, "t": flat}).drop_duplicates() \
+            .groupby("r", sort=False).size()
+        out[d.index.to_numpy()] = d.to_numpy()
     return pa.array(out)
 
 
