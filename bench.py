@@ -142,6 +142,7 @@ def run_bench() -> dict:
     timed("events_props_sum", tr.events_props_sum)
     timed("events_hopping", tr.events_hopping)
     timed("events_value_quantiles", tr.events_value_quantiles)
+    timed("events_quantiles_sketch", tr.events_quantiles_sketch)
     timed("vers_latest", tp.versions_latest)
     timed("vers_evolves_to", tp.versions_evolves_to)
     timed("changes_by_type", ch.changes_by_type)

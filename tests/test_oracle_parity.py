@@ -50,7 +50,7 @@ def con():
 
 
 ALL_QUERIES = entrymod.queries()
-ROWS_ONLY = ("ann_ivf_topk", "vecs_near_dup_lsh")
+ROWS_ONLY = ("ann_ivf_topk", "vecs_near_dup_lsh", "events_quantiles_sketch")
 ORACLED = [n for n in ALL_QUERIES if n not in ROWS_ONLY]
 
 

@@ -44,3 +44,38 @@ def test_hopping_counts_ns_and_us_timestamps_agree(ray_session):
     starts = set(out_ns["window_start"].astype(str))
     assert "2024-01-01 00:00:00" in starts and \
         "2023-12-31 23:30:00" in starts
+
+
+def test_quantile_sketch_within_one_bin_of_exact(ray_session):
+    """value_quantiles_sketch (the 100 TB path) must land within one bin
+    width of the exact kernel for every (event_type, pct), and be exact
+    when a type's values are all equal (zero-width range)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from xlsx_to_graphdb_ray.stages.windows import (
+        N_SKETCH_BINS,
+        value_quantiles,
+        value_quantiles_sketch,
+    )
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.01/events.parquet")
+    exact = value_quantiles(ds).to_pandas() \
+        .set_index(["event_type", "pct"]).sort_index()
+    sk = value_quantiles_sketch(ds).to_pandas() \
+        .set_index(["event_type", "pct"]).sort_index()
+    assert list(exact.index) == list(sk.index)
+    rng = ds.to_pandas().groupby("event_type")["value"].agg(["min", "max"])
+    width = (rng["max"] - rng["min"]) / N_SKETCH_BINS
+    err = (exact["value"] - sk["value"]).abs().groupby(level=0).max()
+    for et in err.index:
+        assert err.loc[et] <= width.loc[et] + 1e-12, (et, err.loc[et])
+
+    # degenerate range: all values equal → sketch returns the value exactly
+    const = ray.data.from_pandas(pd.DataFrame({
+        "event_type": ["x"] * 10 + ["y"] * 5,
+        "value": [7.5] * 10 + [1.0] * 5}))
+    out = value_quantiles_sketch(const).to_pandas() \
+        .set_index(["event_type", "pct"])["value"]
+    assert np.allclose(out.loc["x"], 7.5) and np.allclose(out.loc["y"], 1.0)

@@ -80,6 +80,10 @@ def events_value_quantiles(sf_dir: str):
     return windows.value_quantiles(_events(sf_dir))
 
 
+def events_quantiles_sketch(sf_dir: str):
+    return windows.value_quantiles_sketch(_events(sf_dir))
+
+
 # --- dedup family (synthetic duplicate-bearing corpus) ----------------------
 
 def docs_exact_dedup(sf_dir: str):

@@ -120,6 +120,80 @@ def value_quantiles(events_ds, pcts: tuple[int, ...] = QUANTILE_PCTS):
                                n_buckets=8)
 
 
+N_SKETCH_BINS = 4096
+
+
+def value_quantiles_sketch(events_ds, pcts: tuple[int, ...] = QUANTILE_PCTS,
+                           n_bins: int = N_SKETCH_BINS):
+    """(event_type, pct, value) — the 100 TB quantile path: a mergeable
+    equi-width histogram sketch behind the same contract as the exact
+    ``value_quantiles``. Two streaming passes, no per-type value
+    co-location:
+
+    1. tiny ``(event_type, min, max)`` aggregate (pre-combined per block);
+    2. per-block partial histograms → grouped sum — the only exchange is
+       O(types × n_bins) count rows, independent of input size.
+
+    The estimate is the UPPER edge of the bin holding 1-based rank
+    ``ceil(n·p/100)`` (the exact path's rank), so the absolute error is
+    bounded by one bin width ``(max-min)/n_bins`` — asserted against the
+    exact kernel by the accuracy test. Deterministic: identical input →
+    identical histogram → identical estimates, any partitioning."""
+    import ray
+
+    pruned = events_ds.map_batches(
+        lambda b: b[["event_type", "value"]], batch_format="pandas")
+
+    def mm_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("event_type", as_index=False)["value"]             .agg(["min", "max"])
+        return g.reset_index() if "event_type" not in g.columns else g
+
+    ranges = grouped_agg(pruned.map_batches(mm_partial, batch_format="pandas"),
+                         ["event_type"],
+                         [("lo", "min", "min"), ("hi", "max", "max")],
+                         small_result=True).to_pandas(limit=1_000_000)
+    ranges = ranges.set_index("event_type")
+    rng_ref = ray.put(ranges)
+
+    def hist_partial(b: pd.DataFrame, *, rng_ref) -> pd.DataFrame:
+        rng = ray.get(rng_ref) if isinstance(rng_ref, ray.ObjectRef) \
+            else rng_ref
+        lo = rng["lo"].reindex(b["event_type"]).to_numpy()
+        hi = rng["hi"].reindex(b["event_type"]).to_numpy()
+        width = np.maximum(hi - lo, 1e-300)
+        v = b["value"].to_numpy()
+        bins = np.clip(((v - lo) / width * n_bins).astype(np.int64),
+                       0, n_bins - 1)
+        part = pd.DataFrame({"event_type": b["event_type"].values,
+                             "bin": bins})
+        return part.groupby(["event_type", "bin"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+
+    hist = grouped_agg(
+        pruned.map_batches(hist_partial, fn_kwargs={"rng_ref": rng_ref},
+                           batch_format="pandas"),
+        ["event_type", "bin"], [("n", "n", "sum")],
+        small_result=True).to_pandas(limit=2_000_000)
+
+    out = []
+    for et, g in hist.groupby("event_type", sort=False):
+        g = g.sort_values("bin")
+        counts = g["n"].to_numpy()
+        edges = g["bin"].to_numpy()
+        cdf = np.cumsum(counts)
+        n = int(cdf[-1])
+        lo = float(ranges.loc[et, "lo"])
+        width = (float(ranges.loc[et, "hi"]) - lo) / n_bins
+        for p in pcts:
+            rank = (n * p + 99) // 100
+            i = int(np.searchsorted(cdf, rank))
+            est = lo if width <= 0 else lo + (edges[i] + 1) * width
+            out.append((et, p, est))
+    import ray.data
+    return ray.data.from_pandas(pd.DataFrame(
+        out, columns=["event_type", "pct", "value"]))
+
+
 def _bucket(df: pd.DataFrame, key: str, n: int) -> pd.DataFrame:
     df = df.copy()
     df["__bucket"] = (pandas.util.hash_pandas_object(
