@@ -214,7 +214,13 @@ def run_scaling() -> dict:
     lo = int(os.environ.get("GRAFT_SCALING_CPUS_LO", "2"))
     hi = lo * 4  # the N vs 4N protocol
     results = {}
-    for ncpu in (lo, hi):
+    # hi leg FIRST: it is ~4x more sensitive to neighbor-steal on this
+    # shared host (it needs 4x the cores), so it gets the freshest part
+    # of the idle window; leg order does not change the efficiency math.
+    # Validity gate (documented in BASELINE.md): accept a run only if
+    # BOTH legs' absolute walls match idle-host records within ~8% —
+    # a stolen lo leg would inflate the ratio, not just deflate it.
+    for ncpu in (hi, lo):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_SF_DIR=scale_dir, GRAFT_FLAGSHIP_ONLY="1")
         out = subprocess.run(
