@@ -568,3 +568,43 @@ def test_pii_scrub_planted_oracle(ray_session, tmp_path):
     assert got["n_email"].sum() >= 2 and got["n_number"].sum() >= 4
     assert "<EMAIL>" in got.loc[0, "clean_text"]
     assert got.loc[4, "clean_text"].count("12345") == 1   # under the floor
+
+
+def test_repetition_edge_docs_match_oracle(ray_session, tmp_path):
+    """Edge texts the synthetic corpus never produces (empty, null,
+    single-token, two-token, all-same-token) must still match the DuckDB
+    oracle bit-for-bit."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xlsx_to_graphdb_ray.pipelines.oracles_shared import shared_oracles
+    from xlsx_to_graphdb_ray.stages.textstats import repetition_stats
+
+    texts = ["", None, "solo", "two tokens", "x x x x x x",
+             "a b a b a b a b", "one two three four five six seven"]
+    t = pa.table({"doc_id": list(range(len(texts))),
+                  "lang": ["en"] * len(texts),
+                  "source": ["s"] * len(texts),
+                  "n_chars": [len(x or "") for x in texts],
+                  "text": texts})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    got = repetition_stats(ray.data.read_parquet(str(d / "documents.parquet"))) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+    want = con.sql(shared_oracles(str(d))["docs_repetition"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for c in ["top_token_ratio", "top_bigram_ratio", "dup_3gram_ratio"]:
+        assert np.allclose(got[c], want[c]), (c, got[c].tolist(),
+                                              want[c].tolist())
+    assert got["repetitive"].tolist() == want["repetitive"].tolist()
+    # sanity on the planted shapes
+    r = got.set_index("doc_id")
+    assert r.loc[4, "top_token_ratio"] == 1.0          # all-same-token
+    assert r.loc[4, "dup_3gram_ratio"] > 0.5
+    assert r.loc[6, "repetitive"] == 0                 # all-distinct
