@@ -124,6 +124,7 @@ def run_bench() -> dict:
     timed("docs_top_bigrams", tr.docs_top_bigrams)
     timed("docs_split", tr.docs_split)
     timed("docs_sample", tr.docs_sample)
+    timed("docs_stratified_sample", tr.docs_stratified_sample)
     timed("docs_decontaminate", tr.docs_decontaminate)
     timed("docs_mix_report", tr.docs_mix_report)
     timed("docs_train_mix", tr.docs_train_mix)

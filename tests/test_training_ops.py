@@ -608,3 +608,35 @@ def test_repetition_edge_docs_match_oracle(ray_session, tmp_path):
     assert r.loc[4, "top_token_ratio"] == 1.0          # all-same-token
     assert r.loc[4, "dup_3gram_ratio"] > 0.5
     assert r.loc[6, "repetitive"] == 0                 # all-distinct
+
+
+def test_stratified_sample_rebalances_and_is_deterministic(ray_session,
+                                                           tmp_path):
+    """Skewed strata get downsampled toward the target; small strata pass
+    through whole; membership is identical run-over-run."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xlsx_to_graphdb_ray.stages.sampling import stratified_sample
+
+    rows = [("big", i) for i in range(400)] + \
+           [("mid", 400 + i) for i in range(40)] + \
+           [("tiny", 440 + i) for i in range(4)]
+    t = pa.table({"doc_id": [r[1] for r in rows],
+                  "source": [r[0] for r in rows]})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    ds = ray.data.read_parquet(str(d / "documents.parquet"))
+
+    out1 = stratified_sample(ds, target=10).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    out2 = stratified_sample(ds, target=10).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out1, out2)          # deterministic
+    sizes = out1.groupby("stratum").size()
+    assert sizes.get("tiny", 0) == 4                   # under target: all kept
+    # hash sampling is Bernoulli around the target — generous bounds
+    assert 2 <= sizes.get("big", 0) <= 30
+    assert 2 <= sizes.get("mid", 0) <= 30
+    assert len(out1) < len(rows)

@@ -388,6 +388,15 @@ def text_oracles() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE ('0x' || substr(md5('s|' || doc_id::VARCHAR), 1, 8))
                   ::BIGINT % 100 < 5""",
+        # stratified rebalance: rate = floor(target*10000/stratum_count),
+        # same md5-permyriad predicate as stages/sampling.stratified_sample
+        "docs_stratified_sample": """
+            WITH c AS (SELECT source, count(*) AS n FROM documents
+                       GROUP BY source)
+            SELECT d.doc_id, d.source AS stratum
+            FROM documents d JOIN c USING (source)
+            WHERE ('0x' || substr(md5('b|' || d.doc_id::VARCHAR), 1, 8))
+                  ::BIGINT % 10000 < least(10 * 10000 // c.n, 10000)""",
         "docs_fingerprint": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                        FROM documents),

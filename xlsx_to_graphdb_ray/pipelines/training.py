@@ -171,6 +171,13 @@ def docs_pii_scrub(sf_dir: str):
     return textstats.pii_scrub(_documents(sf_dir))
 
 
+def docs_stratified_sample(sf_dir: str):
+    # only the id + stratum columns leave storage (no text)
+    return sampling.stratified_sample(
+        _read(os.path.join(sf_dir, "documents.parquet"),
+              columns=["doc_id", "source"]))
+
+
 # --- similarity search ------------------------------------------------------
 
 def ann_topk(sf_dir: str):

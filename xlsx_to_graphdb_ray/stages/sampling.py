@@ -61,3 +61,59 @@ def hash_sample(docs_ds, pct: int = SAMPLE_PCT, salt: str = SAMPLE_SALT):
             {"doc_id": b["doc_id"].to_numpy()[keep].astype("int64")})
 
     return docs_ds.map_batches(pick, batch_format="pandas")
+
+
+STRATUM_TARGET = 10
+STRATUM_SALT = "b|"
+_PERMYRIAD = 10_000
+
+
+def _hash_permyriad(ids, salt: str = "") -> np.ndarray:
+    """md5-derived bucket in [0, 10000) per id — finer granularity than
+    ``_hash_pct`` so fractional per-stratum rates stay faithful."""
+    md5 = hashlib.md5
+    enc = salt.encode() if salt else b""
+    return np.fromiter(
+        (int(md5(enc + str(i).encode()).hexdigest()[:8], 16) % _PERMYRIAD
+         for i in ids),
+        dtype=np.int64, count=len(ids))
+
+
+def stratified_sample(docs_ds, by: str = "source",
+                      target: int = STRATUM_TARGET,
+                      salt: str = STRATUM_SALT):
+    """(doc_id, stratum) — rebalance a corpus by downsampling each stratum
+    (e.g. source) toward ``target`` docs: keep a doc when its salted
+    md5 permyriad bucket < floor(target·10000 / stratum_count). Expected
+    kept per stratum ≈ min(target, count); membership is deterministic
+    and engine-independent (the DuckDB oracle recomputes the same md5).
+
+    Scale shape: pass 1 is a tiny pre-combined (stratum, count) aggregate;
+    pass 2 broadcasts the O(#strata) rate table and filters per row — no
+    shuffle of the corpus, no driver state beyond the rate table."""
+    import ray
+
+    from .shuffle import grouped_agg
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(by, as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    counts = grouped_agg(
+        docs_ds.map_batches(count_partial, batch_format="pandas"),
+        [by], [("n", "n", "sum")], small_result=True) \
+        .to_pandas(limit=2_000_000).set_index(by)["n"]
+    rates = np.minimum(target * _PERMYRIAD // counts, _PERMYRIAD)
+    rates_ref = ray.put(rates)
+
+    def pick(b: pd.DataFrame, *, rates_ref) -> pd.DataFrame:
+        r = ray.get(rates_ref) if isinstance(rates_ref, ray.ObjectRef) \
+            else rates_ref
+        thresh = r.reindex(b[by]).to_numpy()
+        keep = _hash_permyriad(b["doc_id"], salt=salt) < thresh
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy()[keep].astype("int64"),
+            "stratum": b[by].to_numpy()[keep]})
+
+    return docs_ds.map_batches(pick, fn_kwargs={"rates_ref": rates_ref},
+                               batch_format="pandas")
