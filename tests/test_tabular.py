@@ -144,3 +144,67 @@ def test_uri_quoting(ray_session):
     sheet = pd.DataFrame({"Number": ["100 SNOW"], "Name": ["Root"]})
     ds, _ = tk.import_tabular({"S": sheet})
     assert ds.to_pandas()["subj"].iloc[0] == "urn:part:100%20SNOW"
+
+
+# ---------------------------------------------------------------------------
+# S5 — MCP/JSON-RPC change source (local transport, fallback semantics)
+# ---------------------------------------------------------------------------
+
+def _write_json(root, route, query, payload):
+    import json
+    import os
+    d = os.path.join(root, route)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"{query}.json"), "w") as f:
+        json.dump(payload, f)
+
+
+def test_changes_rpc_fallback_chain_and_fanout(ray_session, tmp_path):
+    """Route fallback per the reference chain: P1 answers on the JSON-RPC
+    route, P2 only on tools_call, P3 only on legacy change_search; detail
+    enrichment coalesces case-variant fields; AffectedObjects fan out."""
+    import pandas as pd
+    import ray.data
+
+    from xlsx_to_graphdb_ray.sources.changes_rpc import fetch_changes
+
+    ep = str(tmp_path / "ep1")
+    # P1: primary JSON-RPC route
+    _write_json(ep, "message", "P1",
+                {"result": {"results": [{"oid": "C1"}]}})
+    _write_json(ep, "message", "C1",
+                {"result": {"number": "ECN-100", "Type": "ChangeOrder",
+                            "state": "RELEASED", "name": "fix",
+                            "AffectedObjects": [{"number": "P1"},
+                                                {"Number": "P9"}]}})
+    # P2: message route missing → tools_call answers; no detail anywhere
+    _write_json(ep, "tools_call", "P2", {"results": [{"id": "C2"}]})
+    # P3: only the legacy route answers, items under "data"
+    _write_json(ep, "change_search", "P3", {"data": [{"oid": "C3"}]})
+    _write_json(ep, "message", "C3",
+                {"result": {"Number": "ECN-300", "state": "INWORK"}})
+
+    parts = ray.data.from_pandas(pd.DataFrame({
+        "number": ["P1", "P2", "P3", "P4"],      # P4: no change anywhere
+        "container": ["A", "B", "C", "D"]}))
+    out = fetch_changes(parts, [str(tmp_path / "missing"), ep]) \
+        .to_pandas().sort_values(["number", "part"]).reset_index(drop=True)
+
+    # P1's change fans out to both affected parts, detail fields win
+    p1 = out[out["number"] == "ECN-100"]
+    assert sorted(p1["part"]) == ["P1", "P9"]
+    assert set(p1["type"]) == {"ChangeOrder"}
+    assert set(p1["state"]) == {"RELEASED"}
+    # P9 is not in the parts batch → container falls back to P1's
+    assert sorted(p1["container"]) == ["A", "A"]
+    # P2: detail chain found nothing carrying a number → defaults
+    p2 = out[out["part"] == "P2"]
+    assert list(p2["number"]) == ["ECN-P2"]
+    assert list(p2["type"]) == ["ChangeNotice"]
+    assert list(p2["state"]) == ["INWORK"]
+    # P3: legacy search route + detail coalesces capitalized Number
+    p3 = out[out["part"] == "P3"]
+    assert list(p3["number"]) == ["ECN-300"]
+    # P4: silent skip, like the reference
+    assert (out["part"] == "P4").sum() == 0
+    assert len(out) == 4
