@@ -130,3 +130,88 @@ def test_simhash_matches_reference_loop(texts):
     out = kernel(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
     for i, t in enumerate(texts):
         assert int(out["simhash"].iloc[i]) == _ref_simhash(t), (i, t)
+
+
+# --- round-4 kernels ---------------------------------------------------------
+
+_tok = st.text(alphabet="ab xy", min_size=0, max_size=24)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_tok, min_size=1, max_size=10))
+def test_repetition_kernel_matches_python_reference(texts):
+    from xlsx_to_graphdb_ray.stages.textstats import repetition_batch
+
+    t = pa.table({"doc_id": list(range(len(texts))),
+                  "text": pa.array(texts, pa.string())})
+    got = repetition_batch(t).to_pandas()
+
+    for i, txt in enumerate(texts):
+        toks = txt.split(" ")
+        n = max(len(toks), 1)
+        from collections import Counter
+        top_tok = Counter(toks).most_common(1)[0][1]
+        bgs = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+        top_bg = Counter(bgs).most_common(1)[0][1] if bgs else 0
+        tgs = [" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)]
+        dup3 = 1.0 - len(set(tgs)) / len(tgs) if tgs else 0.0
+        r = got.iloc[i]
+        assert r["top_token_ratio"] == round(top_tok / n, 6), txt
+        assert r["top_bigram_ratio"] == round(top_bg / max(n - 1, 1), 6), txt
+        assert r["dup_3gram_ratio"] == round(dup3, 6), txt
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.text(
+    alphabet="aB1._%+-@ 2345679", min_size=0, max_size=40),
+    min_size=1, max_size=8))
+def test_pii_kernel_matches_re_reference(texts):
+    import re
+
+    import pyarrow.compute as pc
+
+    from xlsx_to_graphdb_ray.stages.textstats import PII_PATTERNS
+
+    clean = pa.array(texts, pa.string())
+    got_counts = {}
+    for name, pat, repl in PII_PATTERNS:
+        got_counts[name] = pc.count_substring_regex(clean, pat).to_pylist()
+        clean = pc.replace_substring_regex(clean, pat, repl)
+    got_clean = clean.to_pylist()
+
+    ref_clean, ref_counts = [], {n: [] for n, _, _ in PII_PATTERNS}
+    for txt in texts:
+        cur = txt
+        for name, pat, repl in PII_PATTERNS:
+            ref_counts[name].append(len(re.findall(pat, cur)))
+            cur = re.sub(pat, repl, cur)
+        ref_clean.append(cur)
+    assert got_clean == ref_clean
+    for name, _, _ in PII_PATTERNS:
+        assert got_counts[name] == ref_counts[name]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**9),
+                min_size=1, max_size=50, unique=True),
+       st.integers(min_value=1, max_value=20))
+def test_stratum_rate_math(ids, target):
+    """The permyriad threshold keeps exactly the ids whose hash bucket is
+    under floor(target*10000/n), capped — pinned to a per-id reference."""
+    import hashlib
+
+    from xlsx_to_graphdb_ray.stages.sampling import (
+        _PERMYRIAD,
+        _hash_permyriad,
+    )
+
+    got = _hash_permyriad(pd.Series(ids), salt="b|")
+    for i, x in enumerate(ids):
+        h = int(hashlib.md5(b"b|" + str(x).encode()).hexdigest()[:8], 16) \
+            % _PERMYRIAD
+        assert got[i] == h
+    rate = min(target * _PERMYRIAD // len(ids), _PERMYRIAD)
+    kept = (got < rate).sum()
+    assert 0 <= kept <= len(ids)
+    if rate == _PERMYRIAD:
+        assert kept == len(ids)
