@@ -76,12 +76,19 @@ def events_hopping(sf_dir: str):
     return windows.hopping_counts(_events(sf_dir))
 
 
+def _events_values(sf_dir: str):
+    # quantile kernels touch only (event_type, value) — prune at the READ
+    # so ts/props never leave storage
+    return _read(os.path.join(sf_dir, "events.parquet"),
+                 columns=["event_type", "value"])
+
+
 def events_value_quantiles(sf_dir: str):
-    return windows.value_quantiles(_events(sf_dir))
+    return windows.value_quantiles(_events_values(sf_dir))
 
 
 def events_quantiles_sketch(sf_dir: str):
-    return windows.value_quantiles_sketch(_events(sf_dir))
+    return windows.value_quantiles_sketch(_events_values(sf_dir))
 
 
 # --- dedup family (synthetic duplicate-bearing corpus) ----------------------
