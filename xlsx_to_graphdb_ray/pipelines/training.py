@@ -29,10 +29,6 @@ def _read(path: str, columns=None, rows_per_block: int = 2048):
                              rows_per_block=rows_per_block)
 
 
-def _events(sf_dir: str):
-    return _read(os.path.join(sf_dir, "events.parquet"))
-
-
 def _documents(sf_dir: str):
     return _read(os.path.join(sf_dir, "documents.parquet"),
                  columns=["doc_id", "text"])
@@ -52,28 +48,41 @@ def _vecs_dup(sf_dir: str):
 
 # --- streams (events table) -------------------------------------------------
 
+def _events_cols(sf_dir: str, columns: list[str]):
+    # per-kernel column pruning at the READ: `props` (the wide JSON string)
+    # only leaves storage for props_sum, `value` only for the aggregating
+    # kernels
+    return _read(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
 def events_tumbling(sf_dir: str):
-    return windows.tumbling_counts(_events(sf_dir))
+    return windows.tumbling_counts(
+        _events_cols(sf_dir, ["ts", "event_type", "value"]))
 
 
 def events_sessionize(sf_dir: str):
-    return windows.sessionize(_events(sf_dir))
+    return windows.sessionize(
+        _events_cols(sf_dir, ["user_id", "ts", "event_id"]))
 
 
 def events_next_purchase(sf_dir: str):
-    return windows.next_event_join(_events(sf_dir))
+    return windows.next_event_join(
+        _events_cols(sf_dir, ["user_id", "ts", "event_id", "event_type"]))
 
 
 def events_type_transitions(sf_dir: str):
-    return windows.type_transitions(_events(sf_dir))
+    return windows.type_transitions(
+        _events_cols(sf_dir, ["user_id", "ts", "event_id", "event_type"]))
 
 
 def events_props_sum(sf_dir: str):
-    return windows.props_value_sum(_events(sf_dir))
+    return windows.props_value_sum(
+        _events_cols(sf_dir, ["event_type", "props"]))
 
 
 def events_hopping(sf_dir: str):
-    return windows.hopping_counts(_events(sf_dir))
+    return windows.hopping_counts(
+        _events_cols(sf_dir, ["ts", "event_type", "value"]))
 
 
 def _events_values(sf_dir: str):
