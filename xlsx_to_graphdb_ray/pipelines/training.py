@@ -43,7 +43,9 @@ def _docs_dup(sf_dir: str):
 
 
 def _vecs_dup(sf_dir: str):
-    return _read(synth.ensure_synth(sf_dir)["vecs"])
+    # `label` is test-only ground truth — never read it in the query path
+    return _read(synth.ensure_synth(sf_dir)["vecs"],
+                 columns=["vec_id", "embedding"])
 
 
 # --- streams (events table) -------------------------------------------------
@@ -231,7 +233,10 @@ def vecs_dup_clusters(sf_dir: str):
 # --- multimodal plumbing (synthetic binary media) ---------------------------
 
 def _media(sf_dir: str):
-    return _read(synth.ensure_synth(sf_dir)["media"])
+    # writer-truth columns (pixel_sum, n_pixels, …) exist for the oracles
+    # only — the Ray kernels consume id + kind + raw bytes
+    return _read(synth.ensure_synth(sf_dir)["media"],
+                 columns=["media_id", "kind", "data"])
 
 
 def mm_byte_stats(sf_dir: str):
