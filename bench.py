@@ -130,6 +130,9 @@ def run_bench() -> dict:
     timed("docs_train_mix", tr.docs_train_mix)
     timed("docs_repetition", tr.docs_repetition)
     timed("docs_pii_scrub", tr.docs_pii_scrub)
+    timed("docs_dedup_corpus", tr.docs_dedup_corpus)
+    timed("docs_lm_score", tr.docs_lm_score)
+    timed("docs_shuffle_shards", tr.docs_shuffle_shards)
     timed("ann_topk", tr.ann_topk)
     timed("ann_ivf_topk", tr.ann_ivf_topk)
     timed("vecs_centroid_assign", tr.vecs_centroid_assign)

@@ -640,3 +640,68 @@ def test_stratified_sample_rebalances_and_is_deterministic(ray_session,
     assert 2 <= sizes.get("big", 0) <= 30
     assert 2 <= sizes.get("mid", 0) <= 30
     assert len(out1) < len(rows)
+
+
+def test_dedup_corpus_survivors_consistent(docs):
+    """Survivors = corpus minus cluster non-reps; rep flag = cluster min."""
+    out = dedup_docs.dedup_corpus(docs).to_pandas()
+    delta = dedup_docs.dup_clusters(docs)
+    all_ids = set(docs.to_pandas()["doc_id"])
+    removed = set(delta["doc_id"])
+    assert set(out["doc_id"]) == all_ids - removed
+    assert len(removed) > 0                    # the dedup actually dropped
+    reps = set(delta["keep_id"])
+    flagged = set(out.loc[out["is_cluster_rep"] == 1, "doc_id"])
+    assert flagged == reps
+    assert not out["doc_id"].duplicated().any()
+
+
+def test_lm_score_matches_bruteforce(documents):
+    from collections import Counter
+
+    from xlsx_to_graphdb_ray.stages import textstats
+    out = textstats.lm_score(documents).to_pandas().set_index("doc_id")
+    df = documents.to_pandas()
+    toks = {r.doc_id: r.text.split(" ") for r in df.itertuples()}
+    cnt = Counter(t for ts in toks.values() for t in ts)
+    total = sum(cnt.values())
+    for did, ts in list(toks.items())[:100]:
+        n = max(len(ts), 1)
+        w = sum((cnt[t] * 1_000_000) // total for t in ts)
+        r = sum(1 for t in ts if cnt[t] <= textstats.LM_RARE_MAX)
+        assert out.loc[did, "mean_prob_ppm"] == w // n
+        assert out.loc[did, "rare_permyriad"] == (r * 10_000) // n
+    # the flag splits the corpus non-trivially at the tuned threshold
+    assert 0 < out["well_modeled"].sum() < len(out)
+
+
+def test_lm_score_flags_planted_rare_doc(ray_session):
+    """A doc of corpus-unique junk tokens is all rare mass → filtered."""
+    from xlsx_to_graphdb_ray.stages import textstats
+    base = ["the cat sat on the mat and the dog ran to the cat"] * 40
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(base)]
+    rows.append({"doc_id": 99, "text": "zq1 zq2 zq3 zq4 zq5 zq6"})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = textstats.lm_score(ds).to_pandas().set_index("doc_id")
+    assert out.loc[99, "rare_permyriad"] == 10_000    # 100% rare tokens
+    assert out.loc[99, "well_modeled"] == 0
+    assert (out.drop(index=99)["rare_permyriad"] == 0).all()
+
+
+def test_shuffle_shards_rank_contract(documents):
+    from xlsx_to_graphdb_ray.stages import sampling
+    ids = documents.select_columns(["doc_id"])
+    out = sampling.shuffle_shards(ids).to_pandas()
+    df = documents.to_pandas()
+    assert sorted(out["doc_id"]) == sorted(df["doc_id"])   # a permutation
+    assert set(out["shard"]) <= set(range(sampling.N_SHARDS))
+    for _, g in out.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))     # dense 0..n-1
+    # deterministic across executions
+    again = sampling.shuffle_shards(ids).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True))
+    # the order is actually shuffled, not doc_id order
+    g0 = out[out["shard"] == out["shard"].iloc[0]].sort_values("pos")
+    assert not g0["doc_id"].is_monotonic_increasing

@@ -9,7 +9,8 @@ from __future__ import annotations
 
 from .. import synth
 from ..stages.dedup_docs import JACCARD_T, K_HASHES, N_BANDS
-from ..stages.textstats import (LANG_MARKERS, PII_PATTERNS,
+from ..stages.textstats import (LANG_MARKERS, LM_PPM_MIN, LM_RARE_MAX,
+                                LM_RARE_PERMYRIAD_MAX, PII_PATTERNS,
                                 REP_DUP_3GRAM_MAX, REP_TOP_TOKEN_MAX,
                                 STOPWORDS)
 from .training import ANN_QUERY_IDS
@@ -279,6 +280,27 @@ def dedup_oracles(sf_dir: str) -> dict[str, str]:
             canon AS (SELECT u AS doc_id, least(u, min(v)) AS keep_id
                       FROM reach GROUP BY u)
             SELECT doc_id, keep_id FROM canon WHERE keep_id <> doc_id""",
+        # end-to-end near-dup dedup: the corpus that SURVIVES cluster
+        # collapse (cluster min-id reps flagged, non-reps dropped)
+        "docs_dedup_corpus": f"""
+            WITH RECURSIVE pairs AS ({minhash_pairs_sql}),
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+              WHERE e.v <> r.u),
+            canon AS (SELECT u AS doc_id, least(u, min(v)) AS keep_id
+                      FROM reach GROUP BY u),
+            removed AS (SELECT doc_id FROM canon WHERE keep_id <> doc_id),
+            reps AS (SELECT DISTINCT keep_id FROM canon
+                     WHERE keep_id <> doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id IN (SELECT keep_id FROM reps)
+                        THEN 1 ELSE 0 END AS is_cluster_rep
+            FROM read_parquet('{p["docs"]}') d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)""",
         "docs_ngram_pairs": f"""
             WITH {shingle_cte},
             freq AS (SELECT s, count(*) AS df FROM exploded GROUP BY s
@@ -452,6 +474,48 @@ def text_oracles() -> dict[str, str]:
                      WHERE q.quality = 1 AND lp.lang_pred = 'en')
             SELECT text_md5, min(doc_id) AS doc_id, count(*) AS n_copies
             FROM elig GROUP BY text_md5""",
+        # unigram-LM quality score: integer-ppm token probabilities
+        # (cnt * 1e6 // total), tf-weighted per-doc mean, floor-quantized —
+        # pure integer arithmetic end-to-end, mirrors
+        # stages/textstats.lm_score bit-for-bit
+        "docs_lm_score": f"""
+            WITH tf AS (
+              SELECT doc_id, tok AS term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              GROUP BY doc_id, tok),
+            cnt AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+            tot AS (SELECT greatest(sum(cnt), 1) AS total FROM cnt),
+            ppm AS (SELECT term, cnt,
+                           CAST((cnt * 1000000) // (SELECT total FROM tot)
+                                AS BIGINT) AS tok_ppm
+                    FROM cnt),
+            j AS (SELECT tf.doc_id, tf.tf, ppm.cnt, ppm.tok_ppm
+                  FROM tf JOIN ppm USING (term)),
+            a AS (SELECT doc_id, greatest(sum(tf), 1) AS n,
+                         sum(tf * tok_ppm) AS w,
+                         sum(CASE WHEN cnt <= {LM_RARE_MAX} THEN tf
+                             ELSE 0 END) AS r
+                  FROM j GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(w // n AS BIGINT) AS mean_prob_ppm,
+                   CAST((r * 10000) // n AS BIGINT) AS rare_permyriad,
+                   CASE WHEN w // n >= {LM_PPM_MIN}
+                         AND (r * 10000) // n <= {LM_RARE_PERMYRIAD_MAX}
+                        THEN 1 ELSE 0 END AS well_modeled
+            FROM a""",
+        # deterministic md5-keyed corpus shuffle into 8 training shards;
+        # pos = rank of (key, doc_id) within the shard
+        "docs_shuffle_shards": """
+            WITH k AS (
+              SELECT doc_id, md5('sh|' || doc_id::VARCHAR) AS key,
+                     ('0x' || substr(md5('sh|' || doc_id::VARCHAR), 1, 8))
+                         ::BIGINT % 8 AS shard
+              FROM documents)
+            SELECT doc_id, shard,
+                   row_number() OVER (PARTITION BY shard
+                                      ORDER BY key, doc_id) - 1 AS pos
+            FROM k""",
         # Gopher-style repetition signals; bigrams/3-grams via lockstep
         # unnest + positional self-joins (mirrors stages/textstats.py
         # repetition_batch, which is bit-exact on round(…, 6))

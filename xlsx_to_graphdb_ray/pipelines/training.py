@@ -128,6 +128,10 @@ def docs_dup_clusters(sf_dir: str):
     return dedup_docs.dup_clusters(_docs_dup(sf_dir))
 
 
+def docs_dedup_corpus(sf_dir: str):
+    return dedup_docs.dedup_corpus(_docs_dup(sf_dir))
+
+
 # --- text analysis (shared documents table) ---------------------------------
 
 def docs_token_stats(sf_dir: str):
@@ -179,6 +183,17 @@ def docs_mix_report(sf_dir: str):
 
 def docs_train_mix(sf_dir: str):
     return textstats.train_mix(_documents(sf_dir))
+
+
+def docs_lm_score(sf_dir: str):
+    return textstats.lm_score(_documents(sf_dir))
+
+
+def docs_shuffle_shards(sf_dir: str):
+    # only doc_id leaves storage — the shuffle key derives from it
+    return sampling.shuffle_shards(
+        _read(os.path.join(sf_dir, "documents.parquet"),
+              columns=["doc_id"]))
 
 
 def docs_repetition(sf_dir: str):

@@ -332,6 +332,45 @@ def dup_clusters(docs_ds, jaccard_t: float = JACCARD_T):
                          "keep_id": delta["canon_id"].astype("int64")})
 
 
+def dedup_corpus(docs_ds, jaccard_t: float = JACCARD_T):
+    """(doc_id, is_cluster_rep) — the END-TO-END near-dup dedup a corpus
+    builder actually runs: every document that survives MinHash+LSH
+    near-dup collapse. Non-representative cluster members are dropped;
+    each cluster's MIN doc_id survives with ``is_cluster_rep=1``; docs in
+    no cluster survive with 0.
+
+    Scale shape: ``dup_clusters`` already yields the DELTA removal map
+    (cluster members only — bounded by duplicate mass, not corpus size,
+    and dual-path driver/distributed underneath). The map is broadcast
+    once via ``ray.put`` and the corpus streams through one vectorized
+    ``np.isin`` filter pass — the dedup filter itself adds zero shuffles.
+    A corpus whose duplicate mass outgrows broadcast would route the
+    filter through ``joins.hash_join(left_anti)`` instead (the pattern
+    ``kg_prefix_pairs`` guards with); at that point near-everything is a
+    duplicate and the cluster collapse, not the filter, is the cost.
+    """
+    delta = dup_clusters(docs_ds, jaccard_t=jaccard_t)
+    removed = np.sort(delta["doc_id"].to_numpy().astype(np.int64))
+    reps = np.unique(delta["keep_id"].to_numpy().astype(np.int64))
+    removed_ref = ray.put(removed)
+    reps_ref = ray.put(reps)
+
+    def keep(b: pd.DataFrame, *, removed_ref, reps_ref) -> pd.DataFrame:
+        rm = ray.get(removed_ref) if isinstance(removed_ref, ray.ObjectRef) \
+            else removed_ref
+        rp = ray.get(reps_ref) if isinstance(reps_ref, ray.ObjectRef) \
+            else reps_ref
+        ids = b["doc_id"].to_numpy().astype("int64")
+        surv = ids[~np.isin(ids, rm)]
+        return pd.DataFrame({
+            "doc_id": surv,
+            "is_cluster_rep": np.isin(surv, rp).astype("int64")})
+
+    return docs_ds.map_batches(
+        keep, fn_kwargs={"removed_ref": removed_ref, "reps_ref": reps_ref},
+        batch_format="pandas")
+
+
 def ngram_jaccard_pairs(docs_ds, jaccard_t: float = JACCARD_T):
     """Exact n-gram-Jaccard near-dup join (no sketching): inverted shingle
     index → co-occurring doc pairs → full verify. The candidate generator

@@ -63,6 +63,50 @@ def hash_sample(docs_ds, pct: int = SAMPLE_PCT, salt: str = SAMPLE_SALT):
     return docs_ds.map_batches(pick, batch_format="pandas")
 
 
+N_SHARDS = 8
+SHUFFLE_SALT = "sh|"
+
+
+def shuffle_shards(docs_ds, n_shards: int = N_SHARDS,
+                   salt: str = SHUFFLE_SALT):
+    """(doc_id, shard, pos) — deterministic global corpus shuffle into
+    training shards: the "randomize example order before training" step,
+    reproducible run-over-run and engine-over-engine. Each doc gets
+    ``key = md5(salt|doc_id)``; ``shard = int(key[:8], 16) % n_shards``;
+    ``pos`` = rank of (key, doc_id) within the shard — reading shards in
+    pos order IS the shuffled corpus order.
+
+    Scale shape: shard assignment is a pure per-row kernel; the only
+    exchange is one bucketed co-location by shard, inside which ranking is
+    a vectorized mergesort + cumcount (never a global sort of the corpus,
+    and no driver state at all). Shards are the unit a trainer streams, so
+    the in-shard rank is exactly the ordering granularity needed."""
+    from .shuffle import bucketed_map_groups
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        md5 = hashlib.md5
+        enc = salt.encode()
+        ids = b["doc_id"].astype("int64")
+        keys = np.asarray([md5(enc + str(i).encode()).hexdigest()
+                           for i in ids], dtype=object)
+        h = np.fromiter((int(k[:8], 16) for k in keys), dtype=np.int64,
+                        count=len(keys))
+        return pd.DataFrame({"doc_id": ids.to_numpy(), "k": keys,
+                             "shard": h % n_shards})
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        # a bucket may hold several complete shards — rank within each
+        g = g.sort_values(["shard", "k", "doc_id"], kind="mergesort")
+        pos = g.groupby("shard", sort=False).cumcount()
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy().astype("int64"),
+            "shard": g["shard"].to_numpy().astype("int64"),
+            "pos": pos.to_numpy().astype("int64")})
+
+    return bucketed_map_groups(
+        docs_ds.map_batches(keyed, batch_format="pandas"), ["shard"], rank)
+
+
 STRATUM_TARGET = 10
 STRATUM_SALT = "b|"
 _PERMYRIAD = 10_000

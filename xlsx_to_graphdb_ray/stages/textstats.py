@@ -507,6 +507,91 @@ def repetition_stats(docs_ds):
     return docs_ds.map_batches(repetition_batch, batch_format="pyarrow")
 
 
+LM_RARE_MAX = 2         # a token with corpus count <= this is "rare" (OOV-ish)
+LM_RARE_PERMYRIAD_MAX = 3000  # docs >30% rare-token mass are ill-modeled
+LM_PPM_MIN = 33300      # min mean token probability (ppm) — corpus median
+LM_PPM_SCALE = 1_000_000
+
+
+def lm_score(docs_ds, rare_max: int = LM_RARE_MAX,
+             rare_permyriad_max: int = LM_RARE_PERMYRIAD_MAX,
+             ppm_min: int = LM_PPM_MIN):
+    """(doc_id, mean_prob_ppm, rare_permyriad, well_modeled) — unigram-LM
+    quality scoring (the CCNet-style "score each document under a language
+    model trained on the corpus" filter, with the corpus itself as the LM).
+
+    Each token's probability is quantized to integer parts-per-million
+    (``cnt * 1e6 // total_tokens``); a document's score is the tf-weighted
+    mean token ppm, itself floor-quantized — every output column is pure
+    integer arithmetic, so numpy and the SQL oracle agree bit-for-bit with
+    no cross-engine float rounding anywhere. ``rare_permyriad`` is the
+    per-myriad share of token occurrences whose corpus count is ≤
+    ``rare_max`` (the OOV-mass signal real corpora filter on; the
+    synthetic corpus has a dense vocabulary so it is 0 there — the planted
+    pytest exercises it). ``well_modeled`` = mean_prob_ppm ≥ ppm_min AND
+    rare_permyriad ≤ rare_permyriad_max.
+
+    Distributed as the classic two-pass LM plan with NO driver vocabulary:
+    (1) per-doc term counts (vectorized explode per batch); (2) corpus
+    unigram counts via the pre-combined grouped sum; (3) the total-token
+    scalar from a second tiny aggregate (collected once, O(1) driver
+    state); (4) tf ⋈ cnt by a bucketed hash join on term (vocabularies
+    outgrow broadcast at corpus scale); (5) per-doc grouped sums → final
+    ratio map. Two narrow exchanges end-to-end, same shape as
+    ``tfidf_topk``. (int64 headroom: cnt*1e6 overflows past ~9.2e12
+    occurrences of ONE token — switch the quantizer to a pre-divided
+    float or int128 past that tier.)
+    """
+    from .joins import hash_join
+    from .shuffle import grouped_agg
+
+    def tf_batch(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.set_index("doc_id")["text"].fillna("").str.split(" ").explode()
+        tf = s.groupby([s.index, s.values]).size().rename("tf").reset_index()
+        tf.columns = ["doc_id", "term", "tf"]
+        return pd.DataFrame({"doc_id": tf["doc_id"].astype("int64"),
+                             "term": tf["term"].astype(str),
+                             "tf": tf["tf"].astype("int64")})
+
+    tf = docs_ds.map_batches(tf_batch, batch_format="pandas")
+    cnt = grouped_agg(tf, ["term"], [("cnt", "tf", "sum")], n_buckets=16)
+    total = int(grouped_agg(
+        cnt.map_batches(lambda b: pd.DataFrame({"k": [0], "t": [
+            int(b["cnt"].sum())]}), batch_format="pandas", batch_size=None),
+        ["k"], [("t", "t", "sum")], small_result=True
+    ).to_pandas()["t"].iloc[0]) or 1
+
+    joined = hash_join(tf, cnt, on=["term"])
+
+    def weights(b: pd.DataFrame) -> pd.DataFrame:
+        tfv = b["tf"].astype("int64").to_numpy()
+        cv = b["cnt"].astype("int64").to_numpy()
+        ppm = (cv * LM_PPM_SCALE) // total
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64").to_numpy(),
+            "n": tfv, "w": tfv * ppm,
+            "r": np.where(cv <= rare_max, tfv, 0).astype("int64")})
+
+    sums = grouped_agg(
+        joined.map_batches(weights, batch_format="pandas"),
+        ["doc_id"],
+        [("n", "n", "sum"), ("w", "w", "sum"), ("r", "r", "sum")],
+        n_buckets=16)
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.maximum(b["n"].to_numpy().astype(np.int64), 1)
+        mean_ppm = b["w"].to_numpy().astype(np.int64) // n
+        rare = (b["r"].to_numpy().astype(np.int64) * 10_000) // n
+        well = ((mean_ppm >= ppm_min) & (rare <= rare_permyriad_max)) \
+            .astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "mean_prob_ppm": pa.array(mean_ppm),
+                         "rare_permyriad": pa.array(rare),
+                         "well_modeled": pa.array(well)})
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
 # (name, RE2 pattern, replacement) — applied IN ORDER; counting happens on
 # the text as already redacted by earlier patterns, so an email's digits
 # are never double-counted as a number. RE2 on both engines (Arrow and
