@@ -139,6 +139,7 @@ def run_bench() -> dict:
     timed("vecs_near_dup_exact", tr.vecs_near_dup_exact)
     timed("vecs_near_dup_lsh", tr.vecs_near_dup_lsh)
     timed("vecs_dup_clusters", tr.vecs_dup_clusters)
+    timed("vecs_dedup_corpus", tr.vecs_dedup_corpus)
     timed("events_sessionize", tr.events_sessionize)
     timed("events_tumbling", tr.events_tumbling)
     timed("events_next_purchase", tr.events_next_purchase)

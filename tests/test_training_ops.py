@@ -705,3 +705,16 @@ def test_shuffle_shards_rank_contract(documents):
     # the order is actually shuffled, not doc_id order
     g0 = out[out["shard"] == out["shard"].iloc[0]].sort_values("pos")
     assert not g0["doc_id"].is_monotonic_increasing
+
+
+def test_vec_dedup_corpus_survivors_consistent(ray_session):
+    vecs = ray.data.read_parquet(synth.ensure_synth(SF)["vecs"],
+                                 columns=["vec_id", "embedding"])
+    out = ann.vec_dedup_corpus(vecs).to_pandas()
+    delta = ann.vec_dup_clusters(vecs)
+    all_ids = set(vecs.to_pandas()["vec_id"])
+    removed = set(delta["vec_id"])
+    assert set(out["vec_id"]) == all_ids - removed
+    assert len(removed) > 0
+    assert set(out.loc[out["is_cluster_rep"] == 1, "vec_id"]) \
+        == set(delta["keep_id"])

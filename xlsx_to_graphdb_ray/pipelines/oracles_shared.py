@@ -631,6 +631,32 @@ def ann_oracles(sf_dir: str) -> dict[str, str]:
             canon AS (SELECT u AS vec_id, least(u, min(v)) AS keep_id
                       FROM reach GROUP BY u)
             SELECT vec_id, keep_id FROM canon WHERE keep_id <> vec_id""",
+        # end-to-end embedding dedup: vectors surviving cluster collapse
+        "vecs_dedup_corpus": f"""
+            WITH RECURSIVE e AS (SELECT vec_id, embedding
+                                 FROM read_parquet('{p["vecs"]}')),
+            pairs AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding, b.embedding)
+                    >= 0.95),
+            edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+                      UNION SELECT vec_b, vec_a FROM pairs),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e2.v FROM reach r JOIN edges e2 ON e2.u = r.v
+              WHERE e2.v <> r.u),
+            canon AS (SELECT u AS vec_id, least(u, min(v)) AS keep_id
+                      FROM reach GROUP BY u),
+            removed AS (SELECT vec_id FROM canon WHERE keep_id <> vec_id),
+            reps AS (SELECT DISTINCT keep_id FROM canon
+                     WHERE keep_id <> vec_id)
+            SELECT v.vec_id,
+                   CASE WHEN v.vec_id IN (SELECT keep_id FROM reps)
+                        THEN 1 ELSE 0 END AS is_cluster_rep
+            FROM read_parquet('{p["vecs"]}') v
+            WHERE v.vec_id NOT IN (SELECT vec_id FROM removed)""",
     }
 
 

@@ -245,6 +245,10 @@ def vecs_dup_clusters(sf_dir: str):
     return ann.vec_dup_clusters(_vecs_dup(sf_dir))
 
 
+def vecs_dedup_corpus(sf_dir: str):
+    return ann.vec_dedup_corpus(_vecs_dup(sf_dir))
+
+
 # --- multimodal plumbing (synthetic binary media) ---------------------------
 
 def _media(sf_dir: str):

@@ -452,3 +452,34 @@ def vec_dup_clusters(vec_ds, tau: float = 0.95, method: str = "lsh"):
     delta = sameas_components(pairs)
     return pd.DataFrame({"vec_id": delta["entity_id"].astype("int64"),
                          "keep_id": delta["canon_id"].astype("int64")})
+
+
+def vec_dedup_corpus(vec_ds, tau: float = 0.95, method: str = "lsh"):
+    """(vec_id, is_cluster_rep) — the end-to-end embedding dedup: every
+    vector surviving cosine near-dup collapse (non-rep cluster members
+    dropped, min-id reps flagged). Mirror of ``dedup_docs.dedup_corpus``:
+    the cluster delta map is broadcast once and the corpus streams
+    through one vectorized ``np.isin`` filter pass — zero added shuffles
+    on top of the (near-linear, LSH-candidate) cluster collapse."""
+    import ray
+
+    delta = vec_dup_clusters(vec_ds, tau=tau, method=method)
+    removed = np.sort(delta["vec_id"].to_numpy().astype(np.int64))
+    reps = np.unique(delta["keep_id"].to_numpy().astype(np.int64))
+    removed_ref = ray.put(removed)
+    reps_ref = ray.put(reps)
+
+    def keep(b: pd.DataFrame, *, removed_ref, reps_ref) -> pd.DataFrame:
+        rm = ray.get(removed_ref) if isinstance(removed_ref, ray.ObjectRef) \
+            else removed_ref
+        rp = ray.get(reps_ref) if isinstance(reps_ref, ray.ObjectRef) \
+            else reps_ref
+        ids = b["vec_id"].to_numpy().astype("int64")
+        surv = ids[~np.isin(ids, rm)]
+        return pd.DataFrame({
+            "vec_id": surv,
+            "is_cluster_rep": np.isin(surv, rp).astype("int64")})
+
+    return vec_ds.select_columns(["vec_id"]).map_batches(
+        keep, fn_kwargs={"removed_ref": removed_ref, "reps_ref": reps_ref},
+        batch_format="pandas")
