@@ -133,6 +133,7 @@ def run_bench() -> dict:
     timed("docs_dedup_corpus", tr.docs_dedup_corpus)
     timed("docs_lm_score", tr.docs_lm_score)
     timed("docs_shuffle_shards", tr.docs_shuffle_shards)
+    timed("docs_pack_bins", tr.docs_pack_bins)
     timed("ann_topk", tr.ann_topk)
     timed("ann_ivf_topk", tr.ann_ivf_topk)
     timed("vecs_centroid_assign", tr.vecs_centroid_assign)

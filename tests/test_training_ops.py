@@ -718,3 +718,34 @@ def test_vec_dedup_corpus_survivors_consistent(ray_session):
     assert len(removed) > 0
     assert set(out.loc[out["is_cluster_rep"] == 1, "vec_id"]) \
         == set(delta["keep_id"])
+
+
+def test_pack_bins_contract(documents):
+    from xlsx_to_graphdb_ray.stages import sampling, textstats
+    out = textstats.pack_bins(documents).to_pandas()
+    df = documents.to_pandas()
+    nt = {r.doc_id: len(r.text.split(" ")) for r in df.itertuples()}
+    # every doc's spans sum to its token count
+    per_doc = out.groupby("doc_id")["n_tokens"].sum().to_dict()
+    assert per_doc == nt
+    # every bin is exactly full except each shard's LAST bin
+    bins = out.groupby(["shard", "bin_id"])["n_tokens"].sum()
+    for shard, g in bins.groupby(level=0):
+        got = g.droplevel(0).sort_index()
+        assert list(got.index) == list(range(len(got)))    # dense bins
+        assert (got.iloc[:-1] == textstats.BIN_TOKENS).all()
+        assert 0 < got.iloc[-1] <= textstats.BIN_TOKENS
+    # packing follows the shuffle order: a doc's first bin is monotone
+    # in its shard rank, and each shard's rank-0 doc starts bin 0
+    order = sampling.shuffle_shards(
+        documents.select_columns(["doc_id"])).to_pandas()
+    first_bin = out.groupby("doc_id")["bin_id"].min()
+    m = order.assign(first_bin=first_bin.loc[order["doc_id"]].to_numpy())
+    for _, g in m.groupby("shard"):
+        g = g.sort_values("pos")
+        assert g["first_bin"].is_monotonic_increasing
+        assert g["first_bin"].iloc[0] == 0
+    # spans of one doc are consecutive bins
+    for did, g in out.groupby("doc_id"):
+        b = sorted(g["bin_id"])
+        assert b == list(range(b[0], b[0] + len(b)))

@@ -516,6 +516,31 @@ def text_oracles() -> dict[str, str]:
                    row_number() OVER (PARTITION BY shard
                                       ORDER BY key, doc_id) - 1 AS pos
             FROM k""",
+        # GPT-style sequence packing: docs concatenated in the shuffled
+        # shard order (same md5 key as docs_shuffle_shards), token stream
+        # cut into 256-token bins, one row per (doc, bin it spans)
+        "docs_pack_bins": """
+            WITH k AS (
+              SELECT doc_id, md5('sh|' || doc_id::VARCHAR) AS key,
+                     ('0x' || substr(md5('sh|' || doc_id::VARCHAR), 1, 8))
+                         ::BIGINT % 8 AS shard,
+                     len(string_split(text, ' ')) AS nt
+              FROM documents),
+            o AS (SELECT doc_id, shard, nt,
+                         CAST(sum(nt) OVER (PARTITION BY shard
+                                            ORDER BY key, doc_id
+                                            ROWS UNBOUNDED PRECEDING) - nt
+                              AS BIGINT) AS start
+                  FROM k),
+            s AS (SELECT doc_id, shard, nt, start,
+                         unnest(range(start // 256,
+                                      (start + nt - 1) // 256 + 1)) AS bin_id
+                  FROM o)
+            SELECT shard, CAST(bin_id AS BIGINT) AS bin_id, doc_id,
+                   CAST(least(start + nt, (bin_id + 1) * 256)
+                        - greatest(start, bin_id * 256) AS BIGINT)
+                       AS n_tokens
+            FROM s""",
         # Gopher-style repetition signals; bigrams/3-grams via lockstep
         # unnest + positional self-joins (mirrors stages/textstats.py
         # repetition_batch, which is bit-exact on round(…, 6))

@@ -196,6 +196,10 @@ def docs_shuffle_shards(sf_dir: str):
               columns=["doc_id"]))
 
 
+def docs_pack_bins(sf_dir: str):
+    return textstats.pack_bins(_documents(sf_dir))
+
+
 def docs_repetition(sf_dir: str):
     return textstats.repetition_stats(_documents(sf_dir))
 

@@ -507,6 +507,67 @@ def repetition_stats(docs_ds):
     return docs_ds.map_batches(repetition_batch, batch_format="pyarrow")
 
 
+BIN_TOKENS = 256
+
+
+def pack_bins(docs_ds, bin_tokens: int = BIN_TOKENS):
+    """(shard, bin_id, doc_id, n_tokens) — GPT-style sequence packing:
+    documents are concatenated in the deterministic shuffled training
+    order (``sampling.shuffle_shards``: md5-keyed shard + in-shard rank)
+    and the token stream is cut into fixed ``bin_tokens`` bins, documents
+    splitting across bin boundaries. One output row per (document, bin it
+    spans) — the attention-span map a packed-pretraining dataloader
+    consumes (every bin is exactly full except each shard's last).
+
+    Scale shape: shard/key assignment and token counts are pure per-row
+    kernels; the only exchange is ONE bucketed co-location by shard.
+    In-shard prefix sums and the span fan-out are vectorized (cumsum +
+    repeat/arange offset math, the ``chunk_sequences`` pattern) — no
+    global sort, no driver state. Shards are independent training
+    streams, so prefix sums never cross the exchange."""
+    from .sampling import N_SHARDS, SHUFFLE_SALT
+    from .shuffle import bucketed_map_groups
+
+    def keyed(b: pa.Table) -> pd.DataFrame:
+        text = pc.fill_null(b["text"], "")
+        nt = pc.list_value_length(pc.split_pattern(text, " ")) \
+            .to_numpy().astype(np.int64)          # >= 1: split("") == [""]
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        md5 = hashlib.md5
+        enc = SHUFFLE_SALT.encode()
+        keys = np.asarray([md5(enc + str(i).encode()).hexdigest()
+                           for i in ids], dtype=object)
+        h = np.fromiter((int(k[:8], 16) for k in keys), dtype=np.int64,
+                        count=len(keys))
+        return pd.DataFrame({"doc_id": ids, "k": keys,
+                             "shard": h % N_SHARDS, "nt": nt})
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shard", "k", "doc_id"], kind="mergesort")
+        nt = g["nt"].to_numpy()
+        start = g.groupby("shard", sort=False)["nt"].cumsum().to_numpy() - nt
+        first = start // bin_tokens
+        last = (start + nt - 1) // bin_tokens
+        n_spans = last - first + 1
+        total = int(n_spans.sum())
+        offs = np.zeros(len(n_spans), dtype=np.int64)
+        np.cumsum(n_spans[:-1], out=offs[1:])
+        span_idx = np.arange(total, dtype=np.int64) - np.repeat(offs, n_spans)
+        bin_id = np.repeat(first, n_spans) + span_idx
+        s = np.repeat(start, n_spans)
+        e = s + np.repeat(nt, n_spans)
+        tok = np.minimum(e, (bin_id + 1) * bin_tokens) \
+            - np.maximum(s, bin_id * bin_tokens)
+        return pd.DataFrame({
+            "shard": np.repeat(g["shard"].to_numpy(), n_spans),
+            "bin_id": bin_id,
+            "doc_id": np.repeat(g["doc_id"].to_numpy(), n_spans),
+            "n_tokens": tok})
+
+    return bucketed_map_groups(
+        docs_ds.map_batches(keyed, batch_format="pyarrow"), ["shard"], pack)
+
+
 LM_RARE_MAX = 2         # a token with corpus count <= this is "rare" (OOV-ish)
 LM_RARE_PERMYRIAD_MAX = 3000  # docs >30% rare-token mass are ill-modeled
 LM_PPM_MIN = 33300      # min mean token probability (ppm) — corpus median
