@@ -749,3 +749,33 @@ def test_pack_bins_contract(documents):
     for did, g in out.groupby("doc_id"):
         b = sorted(g["bin_id"])
         assert b == list(range(b[0], b[0] + len(b)))
+
+
+def test_kmeans_step_matches_bruteforce(ray_session):
+    vecs = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+    out = ann.kmeans_step(vecs).to_pandas()
+    df = vecs.to_pandas()
+    m = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
+    ids = df["vec_id"].to_numpy()
+    seeds = np.argsort(ids)[np.isin(np.sort(ids), np.arange(16))]
+    order = np.argsort(ids)
+    smat = m[order][:16]                       # vec_id < 16, sorted
+    sn = smat / np.linalg.norm(smat, axis=1, keepdims=True)
+    vn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    best = np.argmax(vn @ sn.T, axis=1)
+    q = np.floor((m + 1.0) * 1_000_000).astype(np.int64)
+    assert out["n_members"].groupby(out["centroid_id"]).first().sum() \
+        == len(df)
+    got = out.set_index(["centroid_id", "dim"])["mean_q"]
+    for ci in range(16):
+        sel = q[best == ci]
+        if not len(sel):
+            continue
+        exp = sel.sum(axis=0) // len(sel)
+        for d in (0, 1, 31, 63):
+            assert got.loc[(ci, d)] == exp[d]
+    # means moved off the seeds (it's an actual update, not identity)
+    seed_q = np.floor((smat + 1.0) * 1_000_000).astype(np.int64)
+    moved = sum(got.loc[(ci, 0)] != seed_q[ci, 0] for ci in range(16))
+    assert moved > 0

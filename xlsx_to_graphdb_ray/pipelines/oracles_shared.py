@@ -630,6 +630,30 @@ def ann_oracles(sf_dir: str) -> dict[str, str]:
                                             ORDER BY sim DESC, cid) AS rk
                   FROM s)
             SELECT vec_id, cid AS centroid_id FROM r WHERE rk = 1""",
+        # one Lloyd iteration: nearest-centroid assignment (same seeds as
+        # vecs_centroid_assign) then per-dim offset-quantized member means
+        # (floor((v+1)*1e6) keeps operands positive so // matches numpy)
+        "vecs_kmeans_step": """
+            WITH c AS (SELECT vec_id AS cid, embedding AS ce
+                       FROM embeddings WHERE vec_id < 16),
+            s AS (SELECT e.vec_id, c.cid,
+                         list_cosine_similarity(e.embedding, c.ce) AS sim
+                  FROM embeddings e CROSS JOIN c),
+            r AS (SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY sim DESC, cid) AS rk
+                  FROM s),
+            a AS (SELECT vec_id, cid FROM r WHERE rk = 1),
+            x AS (SELECT a.cid,
+                         generate_subscripts(e.embedding, 1) - 1 AS dim,
+                         unnest(e.embedding) AS v
+                  FROM a JOIN embeddings e USING (vec_id))
+            SELECT cid AS centroid_id, CAST(dim AS BIGINT) AS dim,
+                   CAST(sum(CAST(floor((CAST(v AS DOUBLE) + 1) * 1000000)
+                                 AS BIGINT)) // count(*) AS BIGINT)
+                       AS mean_q,
+                   count(*) AS n_members
+            FROM x GROUP BY cid, dim""",
         "vecs_near_dup_exact": f"""
             WITH e AS (SELECT vec_id, embedding
                        FROM read_parquet('{p["vecs"]}'))

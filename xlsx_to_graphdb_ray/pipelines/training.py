@@ -231,6 +231,12 @@ def ann_ivf_topk(sf_dir: str):
         ANN_QUERY_IDS)
 
 
+def vecs_kmeans_step(sf_dir: str):
+    return ann.kmeans_step(
+        _read(os.path.join(sf_dir, "embeddings.parquet"),
+              columns=["vec_id", "embedding"]))
+
+
 def vecs_centroid_assign(sf_dir: str):
     return ann.centroid_assign(
         _read(os.path.join(sf_dir, "embeddings.parquet"),

@@ -284,6 +284,77 @@ def centroid_assign(vec_ds, n_centroids: int = 16):
                               batch_format="pandas")
 
 
+KMEANS_Q_OFFSET = 1.0        # embeddings are zero-centered; +1 keeps every
+KMEANS_Q_SCALE = 1_000_000   # quantized value positive so integer division
+                             # agrees across engines (DuckDB // truncates
+                             # toward zero, numpy floors — identical only
+                             # on non-negative operands)
+
+
+def kmeans_step(vec_ds, n_centroids: int = 16):
+    """(centroid_id, dim, mean_q, n_members) — ONE Lloyd iteration of
+    k-means as a distributed operator: assign every vector to its nearest
+    cosine centroid (same deterministic ``vec_id < n_centroids`` seeds as
+    ``centroid_assign``), then recompute each centroid as the per-dimension
+    mean of its members. ``mean_q`` is the floor-quantized offset mean
+    ``sum(floor((v + 1) * 1e6)) // n`` — pure integer arithmetic after the
+    (bit-identical, float64) quantization, so the SQL oracle matches
+    exactly; subtract 1e6 to recover the raw-mean quantization.
+
+    Scale topology — the canonical distributed k-means plan: the centroid
+    matrix is broadcast once; ONE fused pass per batch does the matmul
+    assignment AND the per-centroid per-dim partial sums (the corpus is
+    never shuffled and never joined back to its assignment); the only
+    exchange ships O(n_centroids × dim) partial rows per block through the
+    pre-combined grouped sum. Chain calls for more iterations."""
+    from .shuffle import grouped_agg
+
+    def grab_seeds(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[b["vec_id"] < n_centroids]
+        return m[["vec_id", "embedding"]]
+
+    sdf = vec_ds.map_batches(grab_seeds, batch_format="pandas").to_pandas()
+    sdf = sdf.sort_values("vec_id").reset_index(drop=True)
+    if not len(sdf):
+        raise ValueError("kmeans_step: no vectors with "
+                         f"vec_id < {n_centroids} to seed centroids")
+    smat = _normalize(_mat(sdf["embedding"]))
+    ref = ray.put((sdf["vec_id"].to_numpy(), smat))
+
+    def partial(b: pd.DataFrame, *, ref) -> pd.DataFrame:
+        cids, sm = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        raw = _mat(b["embedding"]).astype(np.float64)
+        best = np.argmax(_normalize(raw) @ sm.T, axis=1)
+        q = np.floor((raw + KMEANS_Q_OFFSET) * KMEANS_Q_SCALE) \
+            .astype(np.int64)
+        dim = raw.shape[1]
+        rows = []
+        for ci in np.unique(best):
+            sel = q[best == ci]
+            rows.append(pd.DataFrame({
+                "centroid_id": np.repeat(cids[ci], dim),
+                "dim": np.arange(dim, dtype=np.int64),
+                "s": sel.sum(axis=0, dtype=np.int64),
+                "n": np.repeat(np.int64(sel.shape[0]), dim)}))
+        return pd.concat(rows, ignore_index=True)
+
+    parts = vec_ds.map_batches(partial, fn_kwargs={"ref": ref},
+                               batch_format="pandas")
+    sums = grouped_agg(parts, ["centroid_id", "dim"],
+                       [("s", "s", "sum"), ("n", "n", "sum")],
+                       small_result=True)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].astype("int64").to_numpy()
+        return pd.DataFrame({
+            "centroid_id": b["centroid_id"].astype("int64").to_numpy(),
+            "dim": b["dim"].astype("int64").to_numpy(),
+            "mean_q": b["s"].astype("int64").to_numpy() // n,
+            "n_members": n})
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 1234) -> np.ndarray:
     """Seeded-deterministic hyperplanes, cached per (dim, n_planes, seed) —
     identical in every task that asks for the same shape, so they need no
