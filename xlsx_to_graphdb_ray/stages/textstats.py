@@ -615,7 +615,13 @@ def lm_score(docs_ds, rare_max: int = LM_RARE_MAX,
                              "tf": tf["tf"].astype("int64")})
 
     tf = docs_ds.map_batches(tf_batch, batch_format="pandas")
-    cnt = grouped_agg(tf, ["term"], [("cnt", "tf", "sum")], n_buckets=16)
+    # materialize the unigram table ONCE: it is vocabulary-sized (sublinear
+    # in the corpus), and both consumers below — the total-token scalar and
+    # the tf ⋈ cnt join — would otherwise re-execute the whole corpus
+    # tokenize pass through Ray's lineage (three passes instead of the
+    # documented two)
+    cnt = grouped_agg(tf, ["term"], [("cnt", "tf", "sum")],
+                      n_buckets=16).materialize()
     total = int(grouped_agg(
         cnt.map_batches(lambda b: pd.DataFrame({"k": [0], "t": [
             int(b["cnt"].sum())]}), batch_format="pandas", batch_size=None),
