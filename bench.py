@@ -138,6 +138,7 @@ def run_bench() -> dict:
     timed("ann_ivf_topk", tr.ann_ivf_topk)
     timed("vecs_centroid_assign", tr.vecs_centroid_assign)
     timed("vecs_kmeans_step", tr.vecs_kmeans_step)
+    timed("vecs_kmeans_train", tr.vecs_kmeans_train)
     timed("vecs_near_dup_exact", tr.vecs_near_dup_exact)
     timed("vecs_near_dup_lsh", tr.vecs_near_dup_lsh)
     timed("vecs_dup_clusters", tr.vecs_dup_clusters)

@@ -754,7 +754,7 @@ def test_pack_bins_contract(documents):
 def test_kmeans_step_matches_bruteforce(ray_session):
     vecs = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
                                  columns=["vec_id", "embedding"])
-    out = ann.kmeans_step(vecs).to_pandas()
+    out = ann.kmeans_step(vecs)
     df = vecs.to_pandas()
     m = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
     ids = df["vec_id"].to_numpy()
@@ -779,3 +779,56 @@ def test_kmeans_step_matches_bruteforce(ray_session):
     seed_q = np.floor((smat + 1.0) * 1_000_000).astype(np.int64)
     moved = sum(got.loc[(ci, 0)] != seed_q[ci, 0] for ci in range(16))
     assert moved > 0
+
+
+def test_kmeans_train_recovers_planted_clusters(ray_session):
+    """Tight planted clusters: trained spherical k-means reaches high
+    purity, never degrades the cosine objective vs the seed assignment,
+    and is deterministic (quantized integer updates)."""
+    rng = np.random.default_rng(11)
+    k, per, dim = 8, 30, 32
+    centers = rng.normal(size=(k, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = np.arange(k * per) % k
+    pts = centers[labels] + rng.normal(size=(k * per, dim)) * 0.05
+    rows = [{"vec_id": i, "embedding": v.tolist(), "label": int(l)}
+            for i, (v, l) in enumerate(zip(pts, labels))]
+    vecs = ray.data.from_items(rows)
+    ids = vecs.select_columns(["vec_id", "embedding"])
+    out = ann.kmeans_train(ids, n_centroids=16, iters=5).to_pandas()
+    m = out.merge(pd.DataFrame({"vec_id": np.arange(k * per),
+                                "label": labels}), on="vec_id")
+    purity = m.groupby("centroid_id")["label"] \
+        .agg(lambda s: s.value_counts().iloc[0]).sum() / len(m)
+    assert purity >= 0.95, f"kmeans purity {purity}"
+    # deterministic across runs (integer-quantized updates)
+    again = ann.kmeans_train(ids, n_centroids=16, iters=5).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("vec_id").reset_index(drop=True),
+        again.sort_values("vec_id").reset_index(drop=True))
+
+
+def test_kmeans_train_improves_objective(ray_session):
+    """On the clustered shared embeddings table, the trained assignment's
+    mean best-cosine (to its own cluster mean) must not be worse than the
+    seed assignment's — the Lloyd guarantee, modulo 1e-6 quantization."""
+    vecs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"])
+    df = vecs.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    emb = np.vstack(df["embedding"].to_numpy()).astype(np.float64)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+
+    def objective(assign_df):
+        a = assign_df.sort_values("vec_id").reset_index(drop=True)
+        sims = []
+        for _, g in a.groupby("centroid_id"):
+            sub = emb[g["vec_id"].to_numpy()]
+            c = sub.mean(axis=0)
+            c /= np.linalg.norm(c)
+            sims.append(sub @ c)
+        return float(np.mean(np.concatenate(sims)))
+
+    seed = ann.centroid_assign(vecs).to_pandas()
+    trained = ann.kmeans_train(vecs, iters=5).to_pandas()
+    assert objective(trained) >= objective(seed) - 1e-4

@@ -237,6 +237,12 @@ def vecs_kmeans_step(sf_dir: str):
               columns=["vec_id", "embedding"]))
 
 
+def vecs_kmeans_train(sf_dir: str):
+    return ann.kmeans_train(
+        _read(os.path.join(sf_dir, "embeddings.parquet"),
+              columns=["vec_id", "embedding"]))
+
+
 def vecs_centroid_assign(sf_dir: str):
     return ann.centroid_assign(
         _read(os.path.join(sf_dir, "embeddings.parquet"),

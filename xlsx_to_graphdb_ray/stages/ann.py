@@ -306,9 +306,18 @@ def kmeans_step(vec_ds, n_centroids: int = 16):
     assignment AND the per-centroid per-dim partial sums (the corpus is
     never shuffled and never joined back to its assignment); the only
     exchange ships O(n_centroids × dim) partial rows per block through the
-    pre-combined grouped sum. Chain calls for more iterations."""
-    from .shuffle import grouped_agg
+    pre-combined grouped sum. ``kmeans_train`` iterates this."""
+    cids, smat = _kmeans_seeds(vec_ds, n_centroids)
+    sums = _kmeans_partials(vec_ds, cids, _normalize(smat))
+    n = sums["n"].astype("int64").to_numpy()
+    return pd.DataFrame({
+        "centroid_id": sums["centroid_id"].astype("int64").to_numpy(),
+        "dim": sums["dim"].astype("int64").to_numpy(),
+        "mean_q": sums["s"].astype("int64").to_numpy() // n,
+        "n_members": n})
 
+
+def _kmeans_seeds(vec_ds, n_centroids: int):
     def grab_seeds(b: pd.DataFrame) -> pd.DataFrame:
         m = b[b["vec_id"] < n_centroids]
         return m[["vec_id", "embedding"]]
@@ -316,13 +325,22 @@ def kmeans_step(vec_ds, n_centroids: int = 16):
     sdf = vec_ds.map_batches(grab_seeds, batch_format="pandas").to_pandas()
     sdf = sdf.sort_values("vec_id").reset_index(drop=True)
     if not len(sdf):
-        raise ValueError("kmeans_step: no vectors with "
+        raise ValueError("kmeans: no vectors with "
                          f"vec_id < {n_centroids} to seed centroids")
-    smat = _normalize(_mat(sdf["embedding"]))
-    ref = ray.put((sdf["vec_id"].to_numpy(), smat))
+    return sdf["vec_id"].to_numpy(), _mat(sdf["embedding"])
+
+
+def _kmeans_partials(vec_ds, cids: np.ndarray,
+                     cmat_norm: np.ndarray) -> pd.DataFrame:
+    """One fused assign+sum pass: per-centroid per-dim quantized sums and
+    member counts, collected as the small (k × dim)-row frame (sorted —
+    deterministic regardless of block arrival order)."""
+    from .shuffle import grouped_agg
+
+    ref = ray.put((cids, cmat_norm))
 
     def partial(b: pd.DataFrame, *, ref) -> pd.DataFrame:
-        cids, sm = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        cids_, sm = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         raw = _mat(b["embedding"]).astype(np.float64)
         best = np.argmax(_normalize(raw) @ sm.T, axis=1)
         q = np.floor((raw + KMEANS_Q_OFFSET) * KMEANS_Q_SCALE) \
@@ -332,7 +350,7 @@ def kmeans_step(vec_ds, n_centroids: int = 16):
         for ci in np.unique(best):
             sel = q[best == ci]
             rows.append(pd.DataFrame({
-                "centroid_id": np.repeat(cids[ci], dim),
+                "centroid_id": np.repeat(cids_[ci], dim),
                 "dim": np.arange(dim, dtype=np.int64),
                 "s": sel.sum(axis=0, dtype=np.int64),
                 "n": np.repeat(np.int64(sel.shape[0]), dim)}))
@@ -340,19 +358,57 @@ def kmeans_step(vec_ds, n_centroids: int = 16):
 
     parts = vec_ds.map_batches(partial, fn_kwargs={"ref": ref},
                                batch_format="pandas")
-    sums = grouped_agg(parts, ["centroid_id", "dim"],
+    return grouped_agg(parts, ["centroid_id", "dim"],
                        [("s", "s", "sum"), ("n", "n", "sum")],
-                       small_result=True)
+                       small_result=True).to_pandas() \
+        .sort_values(["centroid_id", "dim"]).reset_index(drop=True)
 
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        n = b["n"].astype("int64").to_numpy()
-        return pd.DataFrame({
-            "centroid_id": b["centroid_id"].astype("int64").to_numpy(),
-            "dim": b["dim"].astype("int64").to_numpy(),
-            "mean_q": b["s"].astype("int64").to_numpy() // n,
-            "n_members": n})
 
-    return sums.map_batches(finish, batch_format="pandas")
+def kmeans_train(vec_ds, n_centroids: int = 16, iters: int = 5):
+    """(vec_id, centroid_id) — full spherical k-means (Lloyd's) training:
+    ``iters`` fused assign+update passes from the deterministic
+    ``vec_id < n_centroids`` seeds, then a final assignment pass with the
+    trained centroids. Updates go through the same offset-quantized
+    integer means as ``kmeans_step`` (deterministic regardless of block
+    order — float sums would drift with partial arrival order); an
+    emptied centroid keeps its previous position.
+
+    Rows-only by design: the trained float centroids are not
+    SQL-reproducible across ``iters`` quantize/dequantize rounds — value
+    correctness is pinned by tests (planted-cluster purity ≥ 0.9 on the
+    labeled synthetic corpus, objective non-degradation vs the seed
+    assignment, determinism).
+
+    Scale topology: driver state is ONE k × dim float matrix; each
+    iteration is one streaming corpus pass with an O(k × dim) exchange —
+    the classic distributed-k-means loop a 100 TB embedding table needs
+    (iteration count is fixed and small; the corpus is never shuffled)."""
+    cids, cents = _kmeans_seeds(vec_ds, n_centroids)
+    cents = cents.astype(np.float64)
+    k, dim = cents.shape
+    pos = {int(c): i for i, c in enumerate(cids)}
+    for _ in range(iters):
+        sums = _kmeans_partials(vec_ds, cids, _normalize(cents))
+        new = cents.copy()                      # emptied centroids persist
+        mean_q = sums["s"].to_numpy() // sums["n"].to_numpy()
+        vals = mean_q.astype(np.float64) / KMEANS_Q_SCALE - KMEANS_Q_OFFSET
+        rows = np.fromiter((pos[int(c)] for c in
+                            sums["centroid_id"].to_numpy()[::dim]),
+                           dtype=np.int64, count=len(sums) // dim)
+        new[rows] = vals.reshape(-1, dim)
+        cents = new
+
+    ref = ray.put((cids, _normalize(cents)))
+
+    def assign(b: pd.DataFrame, *, ref) -> pd.DataFrame:
+        cids_, sm = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        vm = _normalize(_mat(b["embedding"]).astype(np.float64))
+        best = np.argmax(vm @ sm.T, axis=1)
+        return pd.DataFrame({"vec_id": b["vec_id"].to_numpy(),
+                             "centroid_id": cids_[best]})
+
+    return vec_ds.map_batches(assign, fn_kwargs={"ref": ref},
+                              batch_format="pandas")
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 1234) -> np.ndarray:
