@@ -215,3 +215,28 @@ def test_stratum_rate_math(ids, target):
     assert 0 <= kept <= len(ids)
     if rate == _PERMYRIAD:
         assert kept == len(ids)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(1, 300), min_size=1, max_size=40),
+       st.integers(2, 64))
+def test_pack_spans_matches_per_token_reference(nts, bin_tokens):
+    from collections import Counter
+
+    from xlsx_to_graphdb_ray.stages.textstats import _pack_spans
+    nt = np.asarray(nts, dtype=np.int64)
+    start = np.cumsum(nt) - nt
+    n_spans, bin_id, tok = _pack_spans(start, nt, bin_tokens)
+    # per-token reference: token position p of doc d lands in bin p//B
+    ref = Counter()
+    for d, (s0, n0) in enumerate(zip(start, nt)):
+        for p in range(s0, s0 + n0):
+            ref[(d, p // bin_tokens)] += 1
+    got = Counter()
+    doc_of_span = np.repeat(np.arange(len(nt)), n_spans)
+    for d, b, t in zip(doc_of_span, bin_id, tok):
+        got[(int(d), int(b))] += int(t)
+    assert got == ref
+    assert (tok > 0).all()                     # no empty spans emitted
+    # spans of one doc are consecutive and partition its token range
+    assert (np.repeat(nt, n_spans) >= tok).all()

@@ -546,18 +546,7 @@ def pack_bins(docs_ds, bin_tokens: int = BIN_TOKENS):
         g = g.sort_values(["shard", "k", "doc_id"], kind="mergesort")
         nt = g["nt"].to_numpy()
         start = g.groupby("shard", sort=False)["nt"].cumsum().to_numpy() - nt
-        first = start // bin_tokens
-        last = (start + nt - 1) // bin_tokens
-        n_spans = last - first + 1
-        total = int(n_spans.sum())
-        offs = np.zeros(len(n_spans), dtype=np.int64)
-        np.cumsum(n_spans[:-1], out=offs[1:])
-        span_idx = np.arange(total, dtype=np.int64) - np.repeat(offs, n_spans)
-        bin_id = np.repeat(first, n_spans) + span_idx
-        s = np.repeat(start, n_spans)
-        e = s + np.repeat(nt, n_spans)
-        tok = np.minimum(e, (bin_id + 1) * bin_tokens) \
-            - np.maximum(s, bin_id * bin_tokens)
+        n_spans, bin_id, tok = _pack_spans(start, nt, bin_tokens)
         return pd.DataFrame({
             "shard": np.repeat(g["shard"].to_numpy(), n_spans),
             "bin_id": bin_id,
@@ -566,6 +555,26 @@ def pack_bins(docs_ds, bin_tokens: int = BIN_TOKENS):
 
     return bucketed_map_groups(
         docs_ds.map_batches(keyed, batch_format="pyarrow"), ["shard"], pack)
+
+
+def _pack_spans(start: np.ndarray, nt: np.ndarray, bin_tokens: int):
+    """Vectorized bin-span fan-out: docs occupying token range
+    [start, start+nt) each emit one row per ``bin_tokens``-sized bin they
+    overlap. Returns (n_spans per doc, bin_id per span, tokens per span).
+    Pure array math — property-tested against a per-token reference."""
+    first = start // bin_tokens
+    last = (start + nt - 1) // bin_tokens
+    n_spans = last - first + 1
+    total = int(n_spans.sum())
+    offs = np.zeros(len(n_spans), dtype=np.int64)
+    np.cumsum(n_spans[:-1], out=offs[1:])
+    span_idx = np.arange(total, dtype=np.int64) - np.repeat(offs, n_spans)
+    bin_id = np.repeat(first, n_spans) + span_idx
+    s = np.repeat(start, n_spans)
+    e = s + np.repeat(nt, n_spans)
+    tok = np.minimum(e, (bin_id + 1) * bin_tokens) \
+        - np.maximum(s, bin_id * bin_tokens)
+    return n_spans, bin_id, tok
 
 
 LM_RARE_MAX = 2         # a token with corpus count <= this is "rare" (OOV-ish)
