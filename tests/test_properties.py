@@ -240,3 +240,32 @@ def test_pack_spans_matches_per_token_reference(nts, bin_tokens):
     assert (tok > 0).all()                     # no empty spans emitted
     # spans of one doc are consecutive and partition its token range
     assert (np.repeat(nt, n_spans) >= tok).all()
+
+
+# ---------------------------------------------------------------------------
+# AhoCorasick multi-pattern matcher (functions/multimatch.py): pinned to the
+# trivially-correct per-pattern `in` check on randomized dictionaries/texts,
+# including nested/overlapping patterns (the J9 prefix double-match quirk).
+
+_pat_alpha = st.text(alphabet="abcd 0123", min_size=1, max_size=8)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_pat_alpha, min_size=1, max_size=25, unique=True),
+       st.text(alphabet="abcd 0123", min_size=0, max_size=60))
+def test_aho_corasick_matches_naive_substring(patterns, text):
+    from xlsx_to_graphdb_ray.functions.multimatch import AhoCorasick
+
+    ac = AhoCorasick(patterns)
+    expected = {i for i, p in enumerate(patterns) if p in text}
+    assert ac.scan(text) == expected
+
+
+def test_aho_corasick_prefix_quirk():
+    """A name that is a prefix of another name double-matches — the J9
+    reference quirk (ingest_changes.py:121-168) the rebuild preserves."""
+    from xlsx_to_graphdb_ray.functions.multimatch import AhoCorasick
+
+    ac = AhoCorasick(["alpha rotor 3", "alpha rotor 30", "rotor 3", "100013"])
+    assert ac.scan("change affecting alpha rotor 30") == {0, 1, 2}
+    assert ac.scan("change affecting alpha rotor 100013") == {3}

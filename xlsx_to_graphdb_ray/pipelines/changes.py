@@ -50,10 +50,46 @@ def changes_by_type(sf_dir: str):
                        small_result=True)
 
 
+def _containment_batch(b: pd.DataFrame, *, ent_ref) -> pd.DataFrame:
+    """One Aho-Corasick pass per description: O(len(desc)) automaton steps
+    regardless of dictionary size (vs the reference's per-entity substring
+    sweep, ``ingest_changes.py:121-168``). The automaton is built once per
+    worker process from the broadcast (id, name) list and cached by ref, the
+    same warm-worker pattern as ``stages.resolve._resolve_batch``."""
+    from ..functions.multimatch import AhoCorasick
+
+    global _CONTAIN_CACHE
+    try:
+        cached_key, eids, ac = _CONTAIN_CACHE
+    except NameError:
+        cached_key = eids = ac = None
+    key = ent_ref.hex() if isinstance(ent_ref, ray.ObjectRef) else id(ent_ref)
+    if cached_key != key:
+        pairs = ray.get(ent_ref) if isinstance(ent_ref, ray.ObjectRef) \
+            else ent_ref
+        eids = [p[0] for p in pairs]          # already entity_id-sorted
+        ac = AhoCorasick([p[1] for p in pairs])
+        _CONTAIN_CACHE = (key, eids, ac)
+
+    desc = b["description"].fillna("")
+    rows: list[tuple[str, str]] = []
+    for cid, txt in zip(b["change_id"], desc):
+        # cap = first MAX_TEXT_MATCHES matched entities in id order
+        # (ref matched[:5] with an id-ordered entity sweep)
+        for i in sorted(ac.scan(txt))[:MAX_TEXT_MATCHES]:
+            rows.append((cid, eids[i]))
+    return pd.DataFrame(rows, columns=["change_id", "entity_id"])
+
+
 def changes_affects_links(sf_dir: str):
     """J9 containment links: (change_id, entity_id) for every entity whose
     canonical NAME appears as a substring of the change description, capped
-    at the first ``MAX_TEXT_MATCHES`` entities by id per change."""
+    at the first ``MAX_TEXT_MATCHES`` entities by id per change.
+
+    Semantics mirror the reference's naive substring match exactly
+    (including the prefix double-match quirk); the implementation is a
+    single multi-pattern automaton scan per description, not an
+    O(entities × changes) sweep."""
     import pyarrow.parquet as pq
 
     paths = synth.ensure_synth(sf_dir)
@@ -62,24 +98,7 @@ def changes_affects_links(sf_dir: str):
         .sort_values("entity_id")
     ent_ref = ray.put(list(zip(ents["entity_id"], ents["name"])))
     ds = _changes(sf_dir)
-
-    def match(b: pd.DataFrame, *, ent_ref) -> pd.DataFrame:
-        pairs = ray.get(ent_ref) if isinstance(ent_ref, ray.ObjectRef) \
-            else ent_ref
-        desc = b["description"].fillna("")
-        hits: list[list[str]] = [[] for _ in range(len(b))]
-        # vectorized per entity: one C-level contains scan per name
-        for eid, name in pairs:
-            mask = desc.str.contains(name, regex=False)
-            if mask.any():
-                for idx in mask.to_numpy().nonzero()[0]:
-                    if len(hits[idx]) < MAX_TEXT_MATCHES:
-                        hits[idx].append(eid)
-        rows = [(cid, eid) for cid, hs in zip(b["change_id"], hits)
-                for eid in hs]
-        return pd.DataFrame(rows, columns=["change_id", "entity_id"])
-
-    return ds.map_batches(match, fn_kwargs={"ent_ref": ent_ref},
+    return ds.map_batches(_containment_batch, fn_kwargs={"ent_ref": ent_ref},
                           batch_format="pandas")
 
 
