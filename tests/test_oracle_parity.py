@@ -50,8 +50,8 @@ def con():
 
 
 ALL_QUERIES = entrymod.queries()
-ROWS_ONLY = ("ann_ivf_topk", "vecs_near_dup_lsh", "events_quantiles_sketch",
-             "vecs_kmeans_train")
+ROWS_ONLY = ("ann_ivf_topk", "vecs_near_dup_lsh", "vecs_kmeans_train",
+             "vecs_dup_clusters_lsh", "vecs_dedup_corpus_lsh")
 ORACLED = [n for n in ALL_QUERIES if n not in ROWS_ONLY]
 
 

@@ -110,6 +110,43 @@ def stream_oracles() -> dict[str, str]:
             p AS (SELECT unnest([50, 90, 99]) AS pct)
             SELECT v.event_type, p.pct::BIGINT AS pct, v.value
             FROM v JOIN p ON v.rk = (v.n * p.pct + 99) // 100""",
+        # exact mirror of the mergeable histogram sketch
+        # (stages/windows.py value_quantiles_sketch): the estimate is fully
+        # determined by the per-type (min, max), the 4096-bin equi-width
+        # assignment trunc((v-lo)/width*4096) clipped to [0,4095], and the
+        # upper edge of the bin holding rank ceil(n*pct/100) — identical
+        # float64 op order on both engines, so values match bit-exactly
+        "events_quantiles_sketch": """
+            WITH rng AS (
+              SELECT event_type, min(value) AS lo, max(value) AS hi
+              FROM events GROUP BY event_type),
+            binned AS (
+              SELECT e.event_type,
+                     LEAST(GREATEST(CAST(TRUNC(
+                         (e.value - r.lo)
+                         / GREATEST(r.hi - r.lo, 1e-300) * 4096)
+                       AS BIGINT), 0), 4095) AS bin
+              FROM events e JOIN rng r USING (event_type)),
+            hist AS (
+              SELECT event_type, bin, count(*) AS n
+              FROM binned GROUP BY 1, 2),
+            cum AS (
+              SELECT event_type, bin,
+                     sum(n) OVER (PARTITION BY event_type ORDER BY bin)
+                         AS cdf,
+                     sum(n) OVER (PARTITION BY event_type) AS total
+              FROM hist),
+            p AS (SELECT unnest([50, 90, 99]) AS pct),
+            sel AS (
+              SELECT c.event_type, p.pct::BIGINT AS pct, min(c.bin) AS bin
+              FROM cum c CROSS JOIN p
+              WHERE c.cdf >= (CAST(c.total AS BIGINT) * p.pct + 99) // 100
+              GROUP BY 1, 2)
+            SELECT s.event_type, s.pct,
+                   CASE WHEN (r.hi - r.lo) / 4096 <= 0 THEN r.lo
+                        ELSE r.lo + (s.bin + 1) * ((r.hi - r.lo) / 4096)
+                   END AS value
+            FROM sel s JOIN rng r USING (event_type)""",
         "events_next_purchase": """
             SELECT v.event_id, v.user_id,
                    coalesce((SELECT p.event_id FROM events p

@@ -258,11 +258,27 @@ def vecs_near_dup_lsh(sf_dir: str):
 
 
 def vecs_dup_clusters(sf_dir: str):
-    return ann.vec_dup_clusters(_vecs_dup(sf_dir))
+    # method="exact" because this query is value-checked against an exact
+    # O(N^2) SQL oracle: the banded-LSH candidate path has recall < 1 by
+    # construction near tau, so the hash-checked contract belongs to the
+    # exact grid; the LSH scale path is the *_lsh entry (rows-only).
+    return ann.vec_dup_clusters(_vecs_dup(sf_dir), method="exact")
+
+
+def vecs_dup_clusters_lsh(sf_dir: str):
+    """Scale path (banded-LSH candidates): rows-only driver check;
+    equality-vs-exact pinned by pytest on the synth corpus."""
+    return ann.vec_dup_clusters(_vecs_dup(sf_dir), method="lsh")
 
 
 def vecs_dedup_corpus(sf_dir: str):
-    return ann.vec_dedup_corpus(_vecs_dup(sf_dir))
+    # exact-oracle contract — see vecs_dup_clusters
+    return ann.vec_dedup_corpus(_vecs_dup(sf_dir), method="exact")
+
+
+def vecs_dedup_corpus_lsh(sf_dir: str):
+    """Scale path (banded-LSH candidates): rows-only driver check."""
+    return ann.vec_dedup_corpus(_vecs_dup(sf_dir), method="lsh")
 
 
 # --- multimodal plumbing (synthetic binary media) ---------------------------

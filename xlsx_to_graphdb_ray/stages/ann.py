@@ -284,6 +284,11 @@ def centroid_assign(vec_ds, n_centroids: int = 16):
                               batch_format="pandas")
 
 
+# max distinct candidate ids whose full embeddings the near-dup driver
+# verify may collect; past this the fully-distributed hash-join verify runs
+# (PAIR_DRIVER_LIMIT bounds lean 16-byte pairs, not dim-wide payloads)
+EMB_DRIVER_LIMIT = 100_000
+
 KMEANS_Q_OFFSET = 1.0        # embeddings are zero-centered; +1 keeps every
 KMEANS_Q_SCALE = 1_000_000   # quantized value positive so integer division
                              # agrees across engines (DuckDB // truncates
@@ -299,7 +304,10 @@ def kmeans_step(vec_ds, n_centroids: int = 16):
     mean of its members. ``mean_q`` is the floor-quantized offset mean
     ``sum(floor((v + 1) * 1e6)) // n`` — pure integer arithmetic after the
     (bit-identical, float64) quantization, so the SQL oracle matches
-    exactly; subtract 1e6 to recover the raw-mean quantization.
+    exactly; subtract 1e6 to recover the raw-mean quantization. Requires
+    unit-range components (>= -1, e.g. unit-norm embeddings) — enforced in
+    the partial pass, since negative quantized values would make numpy
+    floor-division and SQL truncate-toward-zero ``//`` silently diverge.
 
     Scale topology — the canonical distributed k-means plan: the centroid
     matrix is broadcast once; ONE fused pass per batch does the matmul
@@ -342,6 +350,14 @@ def _kmeans_partials(vec_ds, cids: np.ndarray,
     def partial(b: pd.DataFrame, *, ref) -> pd.DataFrame:
         cids_, sm = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         raw = _mat(b["embedding"]).astype(np.float64)
+        # precondition: components >= -KMEANS_Q_OFFSET, so the quantized
+        # values are non-negative and numpy floor-division agrees with the
+        # SQL oracle's truncate-toward-zero `//`. General (non-unit-range)
+        # embeddings would silently diverge between engines — fail loudly.
+        if len(raw) and raw.min() < -KMEANS_Q_OFFSET:
+            raise ValueError(
+                "kmeans quantizer requires embedding components >= "
+                f"{-KMEANS_Q_OFFSET} (unit-range input); got {raw.min()}")
         best = np.argmax(_normalize(raw) @ sm.T, axis=1)
         q = np.floor((raw + KMEANS_Q_OFFSET) * KMEANS_Q_SCALE) \
             .astype(np.int64)
@@ -445,8 +461,10 @@ def cosine_near_dup_pairs(vec_ds, tau: float = 0.95, n_planes: int = 8,
       near-dup workload) with the defaults;
     - tiered dispatch on volume (same guards as the text dedup): driver
       groupby under BAND_DRIVER_LIMIT lean band rows → band-bucket
-      exchange with pairs collected under PAIR_DRIVER_LIMIT →
-      fully-distributed hash-join verify past both;
+      exchange with pairs collected under PAIR_DRIVER_LIMIT (and the
+      involved-id set under EMB_DRIVER_LIMIT — dim-wide embedding payloads
+      are far heavier than the lean pairs the pair guard bounds) →
+      fully-distributed hash-join verify past any of the three;
     - exact verify: the involved-id set broadcasts once (``ray.put``);
       one filtered streaming pass fetches ONLY candidate embeddings
       (near-dups are a sliver of the corpus).
@@ -503,6 +521,14 @@ def cosine_near_dup_pairs(vec_ds, tau: float = 0.95, n_planes: int = 8,
         if not len(pairs):
             return rd.from_pandas(empty)
         ids = np.unique(pairs[["vec_a", "vec_b"]].to_numpy().ravel())
+        if len(ids) > EMB_DRIVER_LIMIT:
+            # the pair-count guard admitted up to 2x PAIR_DRIVER_LIMIT
+            # distinct ids — full embeddings for that many ids can dwarf
+            # the lean pairs that passed the guard. Route to the
+            # distributed hash-join verify instead of collecting them.
+            cand = rd.from_pandas(pairs)
+            pairs = None
+    if pairs is not None:
         ids_ref = ray.put(np.sort(ids.astype(np.int64)))
 
         def grab(b: pd.DataFrame) -> pd.DataFrame:

@@ -21,6 +21,7 @@ Operators:
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -574,6 +575,15 @@ def simhash_pairs(docs_ds, max_hamming: int = 3,
             # (capped at max_group distinct sigs), qualifying run pairs
             # expand to the full id cross product (output-bounded)
             n_runs = min(len(starts), max_group)
+            if len(starts) > max_group:
+                # no-silent-caps: past this point exactness vs the
+                # full-cross-join contract can break — make it observable
+                # (same discipline as LAST_MINHASH_TIER)
+                logging.getLogger(__name__).warning(
+                    "simhash_pairs: band bucket %d has %d distinct "
+                    "signatures > max_group=%d; pairs among the %d "
+                    "truncated runs are dropped", int(key), len(starts),
+                    max_group, len(starts) - max_group)
             if n_runs < 2:
                 continue
             usig = sig[starts[:n_runs]]
