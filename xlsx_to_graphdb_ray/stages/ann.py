@@ -80,13 +80,19 @@ def brute_force_topk(vec_ds, query_ids: list[int], k: int = 10):
     return bucketed_map_groups(partials, ["query_id"], combine, n_buckets=8)
 
 
-def exact_near_dup_pairs(vec_ds, tau: float = 0.95, block_rows: int = 4096):
+def exact_near_dup_pairs(vec_ds, tau: float = 0.95, block_rows: int = 1024):
     """EXACT embedding near-dup pairs (cosine ≥ τ, vec_a < vec_b): the
     distributed brute-force baseline. The corpus is snapshotted into
     normalized (ids, matrix) blocks in the object store; a Dataset over the
     upper-triangular block-pair grid fans the O(N²/2) comparisons out as
     independent matmul tasks — compute is quadratic (it's exact), but
-    distributed and memory-bounded by ``block_rows``."""
+    distributed and memory-bounded by ``block_rows``.
+
+    ``block_rows=1024`` is measured, not arbitrary: on this host a
+    4096-row diagonal cell costs ~2.8 s single-threaded (the 67 MB sims
+    matrix falls out of cache) while sixteen 1024-row cells cost ~0.08 s
+    each — the r4 bench regression was exactly one oversized diagonal
+    cell created by upstream block-layout drift."""
 
     # snapshot normalized blocks from WORKER tasks: each map task ray.puts
     # its own (ids, matrix) block into the object store and returns only the
@@ -107,6 +113,9 @@ def exact_near_dup_pairs(vec_ds, tau: float = 0.95, block_rows: int = 4096):
     refs_ref = ray.put(block_refs)
     import ray.data as rd
 
+    empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                          "vec_b": pd.Series([], dtype="int64")})
+
     def compare(b: pd.DataFrame, *, refs_ref, tau) -> pd.DataFrame:
         refs = ray.get(refs_ref)
         out = []
@@ -114,21 +123,23 @@ def exact_near_dup_pairs(vec_ds, tau: float = 0.95, block_rows: int = 4096):
             ids_a, ma = ray.get(refs[i])
             ids_b, mb = ray.get(refs[j])
             sims = ma @ mb.T
+            # hits are a sliver: extract them directly instead of
+            # materializing all O(rows²) index pairs (the old
+            # triu_indices + full gather cost ~4 s per 4096-row cell)
+            xi, yj = np.nonzero(sims >= tau)
             if i == j:
-                iu, ju = np.triu_indices(len(ids_a), k=1)
-            else:
-                iu, ju = np.unravel_index(np.arange(sims.size),
-                                          sims.shape)
-            hit = sims[iu, ju] >= tau
-            for x, y in zip(ids_a[iu[hit]], ids_b[ju[hit]]):
-                lo, hi = (int(x), int(y)) if x < y else (int(y), int(x))
-                if lo != hi:
-                    out.append((lo, hi))
-        return pd.DataFrame(out, columns=["vec_a", "vec_b"])
+                keep = xi < yj
+                xi, yj = xi[keep], yj[keep]
+            a, c = ids_a[xi], ids_b[yj]
+            lo, hi = np.minimum(a, c), np.maximum(a, c)
+            ne = lo != hi
+            out.append(pd.DataFrame({"vec_a": lo[ne].astype("int64"),
+                                     "vec_b": hi[ne].astype("int64")}))
+        return pd.concat(out, ignore_index=True) if out else empty
 
     return rd.from_items(grid).map_batches(
         compare, fn_kwargs={"refs_ref": refs_ref, "tau": tau},
-        batch_size=4, batch_format="pandas")
+        batch_size=8, batch_format="pandas")
 
 
 _PLANE_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
