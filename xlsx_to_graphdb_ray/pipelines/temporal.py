@@ -36,9 +36,11 @@ def _versions(sf_dir: str):
     return read_parquet_auto(paths["versions"])
 
 
-def versions_latest(sf_dir: str):
+def versions_latest(sf_dir: str, versions_ds=None):
     """(entity_id, version, iteration, full_id, state, created_date,
-    is_latest) — is_latest = max (version, iteration) per entity."""
+    is_latest) — is_latest = max (version, iteration) per entity.
+    ``versions_ds`` overrides the parquet side table (e.g. the S6 OData
+    paging source, ``sources/odata.versions_from_odata``)."""
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["entity_id", "version", "iteration"],
@@ -47,14 +49,16 @@ def versions_latest(sf_dir: str):
         return g[["entity_id", "version", "iteration", "full_id", "state",
                   "created_date", "is_latest"]]
 
-    return bucketed_map_groups(_versions(sf_dir), ["entity_id"], per_bucket,
+    src = versions_ds if versions_ds is not None else _versions(sf_dir)
+    return bucketed_map_groups(src, ["entity_id"], per_bucket,
                                n_buckets=_N_BUCKETS)
 
 
-def versions_evolves_to(sf_dir: str):
+def versions_evolves_to(sf_dir: str, versions_ds=None):
     """(from_id, to_id) — every version/iteration row EVOLVES_TO the first
     (head) iteration of the entity's next distinct version; rows of the
-    entity's last version have no successor and are omitted."""
+    entity's last version have no successor and are omitted.
+    ``versions_ds`` overrides the parquet side table (S6 OData source)."""
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["entity_id", "version", "iteration"],
@@ -72,5 +76,6 @@ def versions_evolves_to(sf_dir: str):
                              "to_id": out["next_head"]}) \
             .reset_index(drop=True)
 
-    return bucketed_map_groups(_versions(sf_dir), ["entity_id"], per_bucket,
+    src = versions_ds if versions_ds is not None else _versions(sf_dir)
+    return bucketed_map_groups(src, ["entity_id"], per_bucket,
                                n_buckets=_N_BUCKETS)
