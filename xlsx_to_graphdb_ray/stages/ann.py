@@ -300,6 +300,12 @@ def centroid_assign(vec_ds, n_centroids: int = 16):
 # (PAIR_DRIVER_LIMIT bounds lean 16-byte pairs, not dim-wide payloads)
 EMB_DRIVER_LIMIT = 100_000
 
+# observability: which dispatch tier the LAST cosine_near_dup_pairs call
+# took — "driver" / "exchange" / "hash-join" / "hash-join-emb-guard"
+# (same no-silent-dispatch discipline as dedup_docs.LAST_MINHASH_TIER;
+# bench.py records it so tier flips between rounds are visible)
+LAST_VEC_TIER: str | None = None
+
 KMEANS_Q_OFFSET = 1.0        # embeddings are zero-centered; +1 keeps every
 KMEANS_Q_SCALE = 1_000_000   # quantized value positive so integer division
                              # agrees across engines (DuckDB // truncates
@@ -513,16 +519,20 @@ def cosine_near_dup_pairs(vec_ds, tau: float = 0.95, n_planes: int = 8,
     banded = vec_ds.map_batches(bands, batch_format="pandas")
 
     # --- fast path A: lean band rows fit the driver → no exchange at all
+    global LAST_VEC_TIER
     cand = None
     try:
         pairs = bucket_pairs(banded.to_pandas(limit=BAND_DRIVER_LIMIT))
+        LAST_VEC_TIER = "driver"
     except ValueError:
         # --- fast path B: exchange for candidates, collect the id pairs
         cand = bucketed_map_groups(banded, ["band_key"], bucket_pairs)
         try:
             pairs = cand.to_pandas(limit=PAIR_DRIVER_LIMIT)
+            LAST_VEC_TIER = "exchange"
         except ValueError:
             pairs = None
+            LAST_VEC_TIER = "hash-join"
 
     empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
                           "vec_b": pd.Series([], dtype="int64"),
@@ -548,6 +558,7 @@ def cosine_near_dup_pairs(vec_ds, tau: float = 0.95, n_planes: int = 8,
             # distributed hash-join verify instead of collecting them.
             cand = rd.from_pandas(pairs)
             pairs = None
+            LAST_VEC_TIER = "hash-join-emb-guard"
     if pairs is not None:
         ids_ref = ray.put(np.sort(ids.astype(np.int64)))
 
