@@ -86,6 +86,37 @@ def test_embedding_near_dup_lsh_recall(ray_session):
     assert len(lset & planted) / len(planted) >= 0.8  # documented recall<1
 
 
+def test_embedding_near_dup_dispatch_tiers_agree(ray_session, monkeypatch):
+    """All four vec dispatch tiers (driver / exchange / emb-guard reroute /
+    fused bucket verify) must produce identical pairs. The bucket-verify
+    tier verifies inside the co-located band buckets so pairwise payload
+    never materializes (the first hash-join design shipped candidate x
+    512-byte embedding rows and filled the disk at the sf6 exercise),
+    and ships embeddings as fixed-width bytes — a tensor column in an
+    empty shuffle partition degrades to Arrow `null` and breaks the
+    shuffle finalize concat."""
+    vecs = ray.data.read_parquet(synth.ensure_synth(SF)["vecs"])
+    key = ["vec_a", "vec_b"]
+
+    def run():
+        return ann.cosine_near_dup_pairs(vecs).to_pandas() \
+            .sort_values(key).reset_index(drop=True)
+
+    tier_a = run()
+    assert ann.LAST_VEC_TIER == "driver" and len(tier_a)
+    monkeypatch.setattr(dedup_docs, "BAND_DRIVER_LIMIT", 1)
+    tier_b = run()
+    assert ann.LAST_VEC_TIER == "exchange"
+    monkeypatch.setattr(ann, "EMB_DRIVER_LIMIT", 0)
+    tier_c = run()
+    assert ann.LAST_VEC_TIER == "bucket-verify-emb-guard"
+    monkeypatch.setattr(dedup_docs, "PAIR_DRIVER_LIMIT", 1)
+    tier_d = run()
+    assert ann.LAST_VEC_TIER == "bucket-verify"
+    for other in (tier_b, tier_c, tier_d):
+        pd.testing.assert_frame_equal(tier_a, other, check_like=True)
+
+
 def test_ivf_topk_recall_vs_exact(ray_session):
     """IVF approximate top-k must recover ≥0.9 of the exact top-10 on the
     clustered embeddings corpus (recall<1 by design, documented)."""

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 
 from .shuffle import bucketed_map_groups, grouped_agg
@@ -296,12 +297,12 @@ def centroid_assign(vec_ds, n_centroids: int = 16):
 
 
 # max distinct candidate ids whose full embeddings the near-dup driver
-# verify may collect; past this the fully-distributed hash-join verify runs
+# verify may collect; past this the fused bucket-verify tier runs
 # (PAIR_DRIVER_LIMIT bounds lean 16-byte pairs, not dim-wide payloads)
 EMB_DRIVER_LIMIT = 100_000
 
 # observability: which dispatch tier the LAST cosine_near_dup_pairs call
-# took — "driver" / "exchange" / "hash-join" / "hash-join-emb-guard"
+# took — "driver" / "exchange" / "bucket-verify" / "bucket-verify-emb-guard"
 # (same no-silent-dispatch discipline as dedup_docs.LAST_MINHASH_TIER;
 # bench.py records it so tier flips between rounds are visible)
 LAST_VEC_TIER: str | None = None
@@ -481,7 +482,8 @@ def cosine_near_dup_pairs(vec_ds, tau: float = 0.95, n_planes: int = 8,
       exchange with pairs collected under PAIR_DRIVER_LIMIT (and the
       involved-id set under EMB_DRIVER_LIMIT — dim-wide embedding payloads
       are far heavier than the lean pairs the pair guard bounds) →
-      fully-distributed hash-join verify past any of the three;
+      fused in-bucket verify past any of the three (pairwise
+      payload never materializes — see the fallback tier below);
     - exact verify: the involved-id set broadcasts once (``ray.put``);
       one filtered streaming pass fetches ONLY candidate embeddings
       (near-dups are a sliver of the corpus).
@@ -493,7 +495,7 @@ def cosine_near_dup_pairs(vec_ds, tau: float = 0.95, n_planes: int = 8,
 
     from .dedup_docs import (BAND_DRIVER_LIMIT, MAX_GROUP_MEMBERS,
                              PAIR_DRIVER_LIMIT)
-    from .joins import group_pairs, hash_join
+    from .joins import group_pairs
     from .shuffle import grouped_distinct
 
     def bands(b: pd.DataFrame) -> pd.DataFrame:
@@ -532,7 +534,7 @@ def cosine_near_dup_pairs(vec_ds, tau: float = 0.95, n_planes: int = 8,
             LAST_VEC_TIER = "exchange"
         except ValueError:
             pairs = None
-            LAST_VEC_TIER = "hash-join"
+            LAST_VEC_TIER = "bucket-verify"
 
     empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
                           "vec_b": pd.Series([], dtype="int64"),
@@ -555,10 +557,10 @@ def cosine_near_dup_pairs(vec_ds, tau: float = 0.95, n_planes: int = 8,
             # the pair-count guard admitted up to 2x PAIR_DRIVER_LIMIT
             # distinct ids — full embeddings for that many ids can dwarf
             # the lean pairs that passed the guard. Route to the
-            # distributed hash-join verify instead of collecting them.
+            # fused bucket verify instead of collecting them.
             cand = rd.from_pandas(pairs)
             pairs = None
-            LAST_VEC_TIER = "hash-join-emb-guard"
+            LAST_VEC_TIER = "bucket-verify-emb-guard"
     if pairs is not None:
         ids_ref = ray.put(np.sort(ids.astype(np.int64)))
 
@@ -588,34 +590,76 @@ def cosine_near_dup_pairs(vec_ds, tau: float = 0.95, n_planes: int = 8,
             "vec_b": pairs["vec_b"].to_numpy()[keep].astype("int64"),
             "sim": np.round(sims[keep], 6)}) if keep.any() else empty)
 
-    # --- fallback: fully-distributed verify (candidates past the guard)
-    cand = grouped_distinct(cand, ["vec_a", "vec_b"], n_buckets=16)
-    side = vec_ds.map_batches(
-        lambda b: pd.DataFrame({"vec_id": b["vec_id"],
-                                "embedding": b["embedding"]}),
-        batch_format="pandas")
-    j1 = hash_join(cand, side, on=["vec_a"], right_on=["vec_id"],
-                   n_buckets=16).map_batches(
-        lambda b: pd.DataFrame({"vec_a": b["vec_a"].astype("int64"),
-                                "vec_b": b["vec_b"].astype("int64"),
-                                "emb_a": b["embedding"]}),
-        batch_format="pandas")
-    j2 = hash_join(j1, side, on=["vec_b"], right_on=["vec_id"],
-                   n_buckets=16)
-
-    def verify(b: pd.DataFrame) -> pd.DataFrame:
+    # --- fallback: fused bucket verify (candidates past the guards).
+    # Candidate PAIRS never materialize in this tier. The first design
+    # here hash-joined the embedding payload onto every candidate pair;
+    # at the sf6 tier exercise (300k clustered vecs, ~10^8 candidates
+    # from hot same-cluster buckets) that shipped candidates x 512-byte
+    # payloads through two exchanges and filled the disk with object
+    # spill. Instead, each (band, bucket) group verifies ITSELF: one
+    # bucketed exchange of (band_key, vec_id, emb-bytes) rows — O(bands
+    # x n), ~1.3 GB at sf6 — co-locates every bucket's members, the
+    # pairwise cosines run inside the group (<= MAX_GROUP_MEMBERS rows,
+    # same first-cap-ascending truncation and per-pair einsum as the
+    # driver tier), and only the OUTPUT-BOUNDED qualifying pairs leave.
+    # Embeddings travel as fixed-width float64 bytes, not the tensor
+    # extension type: a tensor column in an empty shuffle partition
+    # degrades to Arrow `null` and the finalize concat throws.
+    def bands_with_emb(b: pd.DataFrame) -> pa.Table:
         if not len(b):
-            return empty
-        ma = _normalize(_mat(b["emb_a"]))
-        mb = _normalize(_mat(b["embedding"]))
-        sims = np.einsum("ij,ij->i", ma, mb)
-        keep = sims >= tau
-        return pd.DataFrame({
-            "vec_a": b["vec_a"].to_numpy()[keep].astype("int64"),
-            "vec_b": b["vec_b"].to_numpy()[keep].astype("int64"),
-            "sim": np.round(sims[keep], 6)})
+            return pa.table({"band_key": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "emb": pa.array([], pa.binary())})
+        m = _normalize(_mat(b["embedding"]))
+        vids = b["vec_id"].to_numpy().astype(np.int64)
+        keys = []
+        for band in range(n_bands):
+            pl = _hyperplanes(m.shape[1], n_planes, seed=1234 + band)
+            keys.append((np.int64(band) << np.int64(32))
+                        | lsh_bucket_ids(m, pl))
+        emb = [r.tobytes() for r in m]
+        return pa.table({
+            "band_key": pa.array(np.concatenate(keys)),
+            "vec_id": pa.array(np.tile(vids, n_bands)),
+            "emb": pa.array(emb * n_bands, pa.binary())})
 
-    return j2.map_batches(verify, batch_format="pandas")
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return empty
+        g = g.sort_values(["band_key", "vec_id"], kind="mergesort")
+        keys = g["band_key"].to_numpy()
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        emb = g["emb"].to_numpy()
+        change = np.concatenate(([True], keys[1:] != keys[:-1]))
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(keys))
+        outs = []
+        for s, e in zip(starts, ends):
+            e = min(e, s + MAX_GROUP_MEMBERS)   # group_pairs truncation
+            n = e - s
+            if n < 2:
+                continue
+            m = np.stack([np.frombuffer(x, dtype=np.float64)
+                          for x in emb[s:e]])
+            iu, ju = np.triu_indices(n, k=1)
+            sims = np.einsum("ij,ij->i", m[iu], m[ju])
+            keep = sims >= tau
+            if keep.any():
+                outs.append(pd.DataFrame({
+                    "vec_a": ids[s:e][iu[keep]],
+                    "vec_b": ids[s:e][ju[keep]],
+                    "sim": np.round(sims[keep], 6)}))
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True) \
+            .drop_duplicates(ignore_index=True)
+
+    banded_emb = vec_ds.map_batches(bands_with_emb, batch_format="pandas")
+    hits = bucketed_map_groups(banded_emb, ["band_key"], bucket_verify,
+                               n_buckets=16)
+    # a pair qualifying in several bands emits identical rows (the sim is
+    # the same per-pair einsum on the same vectors) — one distinct pass
+    return grouped_distinct(hits, ["vec_a", "vec_b", "sim"], n_buckets=16)
 
 
 def vec_dup_clusters(vec_ds, tau: float = 0.95, method: str = "lsh"):
