@@ -175,7 +175,7 @@ def run_bench() -> dict:
     timed("rel_distinct_nations", r.distinct_active_nations)
     timed("rel_region_order_stats", r.region_order_stats)
 
-    from xlsx_to_graphdb_ray.stages import ann, dedup_docs
+    from xlsx_to_graphdb_ray.stages import ann, closure, dedup_docs
     out = {
         "metric": "kg_triples_e2e",
         "value": round(t_pipeline, 3),
@@ -191,6 +191,7 @@ def run_bench() -> dict:
         # (tier flips change the wall time materially — make them visible)
         "docs_minhash_pairs_tier": dedup_docs.LAST_MINHASH_TIER,
         "vecs_near_dup_tier": ann.LAST_VEC_TIER,
+        "closure_tier": closure.LAST_CLOSURE_TIER,
     }
     ray.shutdown()
     return out

@@ -51,13 +51,22 @@ def test_closure_pandas_matches_dfs_oracle(name):
     assert got == dfs_oracle(edges)
 
 
-@pytest.mark.parametrize("method", ["driver", "distributed"])
-def test_closure_dataset_both_methods(ray_session, method):
+@pytest.mark.parametrize("method", ["driver", "distributed", "doubling"])
+def test_closure_dataset_all_methods(ray_session, method):
+    """driver = component-partitioned parallel BFS; distributed = min-label
+    components + bucketed BFS (the auto tier past DRIVER_LIMIT since the
+    sf8 exercise); doubling = explicit path-doubling last resort."""
+    from xlsx_to_graphdb_ray.stages import closure
+
     edges = CASES["shared_subtree"] + CASES["cycle"]
     ds = ray.data.from_pandas(pd.DataFrame(edges, columns=["parent", "child"]))
     out = transitive_closure(ds, method=method)
     got = set(map(tuple, out.to_pandas()[["anc", "desc"]].values))
     assert got == dfs_oracle(edges)
+    want_tier = {"driver": "driver",
+                 "distributed": "distributed-components",
+                 "doubling": "doubling"}[method]
+    assert closure.LAST_CLOSURE_TIER == want_tier
 
 
 def test_reference_golden_counts():

@@ -7,33 +7,59 @@ duplicated at ``:795-839`` — implemented exactly once here, cf. SURVEY.md
 descendant) pair connected by a directed path; cycle-safe (a node on a cycle
 becomes its own descendant — the shared-``visited`` DFS yields the same set).
 
-Two implementations behind ``transitive_closure``:
+Reachability never crosses a weakly-connected component, so the closure of
+a disjoint union is the union of per-component closures — and BOM-style
+graphs are MANY small components (sf8: 2.4M edges → 36k components, max
+40 nodes). Every tier exploits that:
 
-- ``driver`` — vectorized pandas frontier-BFS over the collected edge list.
-  The edge set is *derived* data (≪ the turn stream; the reference held it
-  in one dict too), so below ``DRIVER_LIMIT`` edges this avoids per-round
-  shuffle latency entirely; every round is a C-speed ``merge`` +
-  anti-``merge``.
-- ``distributed`` — semi-naïve iteration with **path doubling**: per round,
-  known paths are joined with themselves (hash-partitioned ``Dataset.join``)
-  so path length doubles — O(log depth) rounds instead of O(depth) — and
-  already-known pairs are removed with a ``left_anti`` join before the
-  union. Per-round ``materialize()`` pins the (small, derived) path set so
-  rounds don't re-execute lineage. This is the path for graphs whose closure
-  cannot sit on the driver; ``auto`` switches to it past the threshold.
+- ``driver`` (≤ ``DRIVER_LIMIT`` distinct edges) — the edge list is
+  *derived* data bounded by the entity dimension, not the input stream
+  (per-block distinct runs before anything crosses to the driver), so it
+  collects cheaply; components labeled with a factorized numpy union-find
+  (4.6 s at 2.4M edges), then the vectorized BFS runs per component
+  bucket IN PARALLEL as map tasks. The closure output is born distributed.
+- ``distributed`` (auto past the limit) — same shape with no driver edge
+  list: iterative min-label propagation (the ``canonicalize`` pattern)
+  labels the weak components in O(diameter) bucketed join rounds, labels
+  join back onto the edges, and one bucketed exchange co-locates each
+  component for the same per-bucket vectorized BFS. Partitioning
+  assumption (documented): one component's edge set fits a worker — the
+  same assumption any per-family BOM computation makes; a component too
+  big for that needs the explicit ``doubling`` method.
+- ``doubling`` (explicit only) — semi-naïve path doubling: per round,
+  known paths join themselves (O(log depth) rounds), already-known pairs
+  removed with ``left_anti`` before the union. Correct for one giant
+  component that defeats per-component partitioning, but each round
+  shuffles the whole path set — at the sf8 tier exercise this ran 340 s
+  where the per-component tiers run ~15 s, which is why ``auto`` no
+  longer selects it.
+
+Round-5 history: sf8 (48M turns) pushed the distinct edge set to 2.41M,
+just past the old 2M limit, silently flipping ``auto`` into path doubling
+— closure became 62% of the flagship wall and the 8-vs-32 scaling leg
+showed a ~17% serial-ish fraction. Found by measuring, not reading.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
-import pandas.util
 import ray.data
 
 from .joins import hash_join
-from .shuffle import grouped_distinct
+from .shuffle import bucketed_map_groups, grouped_distinct
 
 _NPART = 16
-DRIVER_LIMIT = 2_000_000  # edges; above this, auto uses the distributed path
+# distinct-edge driver budget: 8M edges ≈ a few hundred MB of id strings —
+# comfortably driver-sized on any reasonable head node, and the union-find
+# on factorized int codes is seconds at this volume. Above it, auto runs
+# the distributed-components tier (NOT path doubling).
+DRIVER_LIMIT = 8_000_000
+
+# observability: which tier the LAST transitive_closure call took —
+# "driver" / "distributed-components" / "doubling" (same no-silent-dispatch
+# discipline as dedup_docs.LAST_MINHASH_TIER; bench.py records it)
+LAST_CLOSURE_TIER: str | None = None
 
 
 def _distinct(ds, cols):
@@ -41,14 +67,25 @@ def _distinct(ds, cols):
 
 
 def closure_pandas(edges: pd.DataFrame, max_rounds: int = 64) -> pd.DataFrame:
-    """Frontier BFS over (parent, child) → (anc, desc), vectorized."""
+    """Frontier BFS over (parent, child) → (anc, desc), vectorized.
+
+    Ids are factorized to int codes first: pandas merges on int64 keys ran
+    3.5× faster than on the id strings at the 2.4M-edge tier (42.7 s vs
+    147.5 s measured), and every tier funnels through this kernel."""
     base = edges[["parent", "child"]].drop_duplicates()
-    paths = base.rename(columns={"parent": "anc", "child": "desc"})
-    frontier = paths
+    if base.empty:
+        return pd.DataFrame({"anc": pd.Series([], dtype=object),
+                             "desc": pd.Series([], dtype=object)})
+    codes, uniques = pd.factorize(
+        pd.concat([base["parent"], base["child"]], ignore_index=True))
+    ibase = pd.DataFrame({"anc": codes[:len(base)], "desc": codes[len(base):]})
+    paths = ibase
+    frontier = ibase
+    extend = ibase.rename(columns={"anc": "parent"})
     for _ in range(max_rounds):
-        step = frontier.merge(
-            base, left_on="desc", right_on="parent")[["anc", "child"]]
-        step = step.rename(columns={"child": "desc"}).drop_duplicates()
+        step = frontier.merge(extend, left_on="desc", right_on="parent")
+        step = step[["anc", "desc_y"]].rename(columns={"desc_y": "desc"}) \
+            .drop_duplicates()
         if step.empty:
             break
         new = step.merge(paths, how="left", indicator=True,
@@ -58,36 +95,44 @@ def closure_pandas(edges: pd.DataFrame, max_rounds: int = 64) -> pd.DataFrame:
             break
         paths = pd.concat([paths, new], ignore_index=True)
         frontier = new
-    return paths.sort_values(["anc", "desc"]).reset_index(drop=True)
+    uniques = np.asarray(uniques)
+    out = pd.DataFrame({"anc": uniques[paths["anc"].to_numpy()],
+                        "desc": uniques[paths["desc"].to_numpy()]})
+    return out.sort_values(["anc", "desc"]).reset_index(drop=True)
 
 
-def _closure_by_component(edges: pd.DataFrame, max_rounds: int) -> "ray.data.Dataset":
-    """Component-partitioned closure: reachability never crosses a weakly-
-    connected component, so the closure of a disjoint union is the union of
-    per-component closures. Label components with driver union-find (the
-    edge list already fits on the driver here), hash components into
-    buckets, and run the vectorized BFS per bucket IN PARALLEL via
-    ``groupby(bucket).map_groups`` — the closure output is born distributed
-    (one block per bucket) instead of one giant driver block. This is also
-    the skew story: a hot root only inflates its own component's bucket."""
-    parent: dict = {}
+def _component_roots(pu: np.ndarray, cu: np.ndarray, n: int) -> np.ndarray:
+    """Weak-component root label per node, path-compressed union-find over
+    int-coded edges (4.6 s at 2.4M edges / 1.2M nodes, measured)."""
+    parent = np.arange(n)
 
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
 
-    for u, v in zip(edges["parent"], edges["child"]):
-        ru, rv = find(u), find(v)
-        if ru != rv:
-            parent[rv] = ru
+    for a, b in zip(pu, cu):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    return np.array([find(i) for i in range(n)])
 
-    comp = edges["parent"].map(lambda x: find(x))
-    buckets = (pandas.util.hash_pandas_object(comp.astype(str), index=False)
-               % _NPART).astype("int32")
+
+def _closure_by_component(edges: pd.DataFrame, max_rounds: int):
+    """Driver tier: label components (factorized union-find), hash the
+    labels into buckets, run the vectorized BFS per bucket IN PARALLEL via
+    map tasks — the closure output is born distributed (one block per
+    bucket) instead of one giant driver block. Skew story: a hot root only
+    inflates its own component's bucket, and components are bounded by
+    family size, not corpus size."""
+    codes, uniques = pd.factorize(
+        pd.concat([edges["parent"], edges["child"]], ignore_index=True))
+    pu, cu = codes[:len(edges)], codes[len(edges):]
+    roots = _component_roots(pu, cu, len(uniques))
+    buckets = roots[pu] % _NPART
 
     # partition on the driver (edges are already here) → one block per
     # bucket, no shuffle op at all; closure runs as parallel map tasks
@@ -98,11 +143,70 @@ def _closure_by_component(edges: pd.DataFrame, max_rounds: int) -> "ray.data.Dat
         batch_format="pandas", batch_size=None)
 
 
+def _closure_distributed_components(base, max_rounds: int):
+    """Distributed tier: min-label weak-component labeling (one label hop
+    per round, O(diameter) bucketed joins — the ``canonicalize``
+    distributed pattern), then ONE bucketed exchange co-locates each
+    component's edges for the same per-bucket vectorized BFS. ``base`` is
+    the distinct (parent, child) Dataset, already materialized."""
+    from ray.data.aggregate import Max
+
+    from .shuffle import grouped_agg
+
+    def _as_arrow(ds):
+        return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+    undirected = _distinct(base.map_batches(
+        lambda b: pd.concat([
+            pd.DataFrame({"u": b["parent"], "v": b["child"]}),
+            pd.DataFrame({"u": b["child"], "v": b["parent"]}),
+        ], ignore_index=True).drop_duplicates(),
+        batch_format="pandas"), ["u", "v"]).materialize()
+
+    labels = _distinct(undirected.map_batches(
+        lambda b: pd.DataFrame({"node": b["u"], "label": b["u"]}),
+        batch_format="pandas"), ["node", "label"]).materialize()
+    for _ in range(max_rounds):
+        flowed = hash_join(undirected, labels, on=["u"], right_on=["node"],
+                           n_buckets=_NPART).map_batches(
+            lambda b: pd.DataFrame({"node": b["v"], "label": b["label"]}),
+            batch_format="pandas")
+        new_labels = grouped_agg(
+            _as_arrow(flowed).union(_as_arrow(labels)),
+            ["node"], [("label", "label", "min")], n_buckets=_NPART,
+        ).materialize()
+        changed = hash_join(new_labels, labels, on=["node"],
+                            n_buckets=_NPART, suffix="_old").map_batches(
+            lambda b: pd.DataFrame(
+                {"diff": (b["label"] != b["label_old"]).astype("int64")}),
+            batch_format="pandas").aggregate(Max("diff"))
+        labels = new_labels
+        if not changed or not changed.get("max(diff)", 0):
+            break
+
+    labeled = hash_join(base, labels, on=["parent"], right_on=["node"],
+                        n_buckets=_NPART)
+    # co-locate each component (bucketed by label hash), BFS per bucket; a
+    # bucket is a disjoint union of whole components, which the BFS kernel
+    # handles natively
+    return bucketed_map_groups(
+        labeled.map_batches(
+            lambda b: b[["label", "parent", "child"]],
+            batch_format="pandas"),
+        ["label"],
+        lambda g: closure_pandas(g[["parent", "child"]], max_rounds),
+        n_buckets=_NPART)
+
+
 def transitive_closure(edges_ds, method: str = "auto", max_rounds: int = 64):
-    """Dataset of (parent, child) → Dataset of (anc, desc) (materialized).
+    """Dataset of (parent, child) → Dataset of (anc, desc).
 
     Result contains every pair with a directed path parent →+ child.
+    ``method``: "auto" (driver-components under ``DRIVER_LIMIT``, else
+    distributed-components), or explicit "driver" / "distributed" /
+    "doubling".
     """
+    global LAST_CLOSURE_TIER
     if method in ("auto", "driver"):
         # single execution: pull the (derived, small) edge list and dispatch
         # on its actual size — to_pandas(limit) raises past the threshold.
@@ -121,6 +225,7 @@ def transitive_closure(edges_ds, method: str = "auto", max_rounds: int = 64):
                 raise
             edges = None
         if edges is not None:
+            LAST_CLOSURE_TIER = "driver"
             if edges.empty:
                 return ray.data.from_pandas(
                     pd.DataFrame({"anc": pd.Series([], dtype=object),
@@ -129,11 +234,23 @@ def transitive_closure(edges_ds, method: str = "auto", max_rounds: int = 64):
 
     base = _distinct(
         edges_ds.map_batches(
-            lambda b: pd.DataFrame({"anc": b["parent"], "desc": b["child"]}),
+            lambda b: pd.DataFrame({"parent": b["parent"],
+                                    "child": b["child"]}),
             batch_format="pandas"),
-        ["anc", "desc"],
+        ["parent", "child"],
     ).materialize()
 
+    if method != "doubling":
+        LAST_CLOSURE_TIER = "distributed-components"
+        return _closure_distributed_components(base, max_rounds)
+
+    # explicit path doubling: the only tier that survives one single
+    # component too large for any worker; every round shuffles the whole
+    # path set, so auto never picks it (340 s vs ~15 s at the sf8 tier)
+    LAST_CLOSURE_TIER = "doubling"
+    base = base.map_batches(
+        lambda b: pd.DataFrame({"anc": b["parent"], "desc": b["child"]}),
+        batch_format="pandas").materialize()
     paths = base
     frontier = base  # paths discovered last round (length exactly 2^k..)
     for _ in range(max_rounds):
@@ -152,10 +269,10 @@ def transitive_closure(edges_ds, method: str = "auto", max_rounds: int = 64):
                         n_buckets=_NPART).materialize()
         if new.count() == 0:
             break
-        paths = _as_arrow(paths).union(_as_arrow(new)).materialize()
+        paths = _as_arrow_ds(paths).union(_as_arrow_ds(new)).materialize()
         frontier = new
     return paths
 
 
-def _as_arrow(ds):
+def _as_arrow_ds(ds):
     return ds.map_batches(lambda t: t, batch_format="pyarrow")
